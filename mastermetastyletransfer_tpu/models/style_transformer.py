@@ -1,0 +1,325 @@
+"""The Style Transformer: shared-weight shifted-window cross-attention encoder
++ decoder producing per-pixel scale/shift modulation.
+
+Functional re-design of the reference modules:
+  StyleSwinTransformerBlock  (reference: codes/style_transformer.py:303-398)
+  StyleEncoder               (reference: codes/style_transformer.py:777-912)
+  StyleDecoder               (reference: codes/style_transformer.py:918-1128)
+  StyleTransformer           (reference: codes/style_transformer.py:1133-1245)
+
+Everything is a pure function over a params pytree; `k` (the controllable
+stacked-layer count, ZS-L1 vs ZS-L3) is either a static python int (unrolled,
+inference) or a traced scalar handled by a masked lax.scan over max_layers
+iterations (training with random k) — both jit-clean with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mastermetastyletransfer_tpu.config import AttentionConfig, StyleTransformerConfig
+from mastermetastyletransfer_tpu.ops.attention import (
+    init_dual_value_window_attention,
+    init_window_attention,
+    shifted_window_attention,
+    shifted_window_attention_dual_value,
+)
+from mastermetastyletransfer_tpu.ops.mlp import (
+    init_linear, init_mlp, linear, mlp_apply, stochastic_depth,
+)
+from mastermetastyletransfer_tpu.ops.norm import instance_norm, layer_norm
+
+
+def _split(rng, n):
+    if rng is None:
+        return (None,) * n
+    return jax.random.split(rng, n)
+
+
+# ---------------------------------------------------------------------------
+# StyleSwinTransformerBlock
+# ---------------------------------------------------------------------------
+
+def init_style_swin_block(key, attn_cfg: AttentionConfig, *, use_norm: bool,
+                          exclude_mlp: bool, mlp_ratio: float) -> dict:
+    """Swin block generalized to cross-attention inputs, with optional norm
+    (the style encoder runs norm-free) and optional MLP
+    (reference: codes/style_transformer.py:319-373)."""
+    k_attn, k_mlp = jax.random.split(key)
+    p = {"attn": init_window_attention(k_attn, attn_cfg)}
+    d = attn_cfg.dim
+    if use_norm:
+        p["norm1"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+        if not exclude_mlp:
+            p["norm2"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    if not exclude_mlp:
+        p["mlp"] = init_mlp(k_mlp, d, int(d * mlp_ratio), init="xavier_uniform")
+    return p
+
+
+def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
+                           v: jnp.ndarray, attn_cfg: AttentionConfig, *,
+                           use_norm: bool, exclude_mlp: bool,
+                           sd_prob: float, calculating_key: bool = False,
+                           deterministic: bool = True,
+                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Forward of the generalized Swin block.
+
+    Residual source: q when computing the encoder Key or when the block is a
+    full (MLP-bearing) block; v when computing Scale/Shift (both sit in the V
+    position of the shared MHA) — reference: codes/style_transformer.py:382-386.
+    """
+    x = q if (calculating_key or not exclude_mlp) else v
+    r_attn, r_sd1, r_mlp, r_sd2 = _split(rng, 4)
+    if use_norm:
+        n1 = lambda t: layer_norm(t, params["norm1"]["scale"], params["norm1"]["bias"])
+        a = shifted_window_attention(params["attn"], n1(q), n1(k), n1(v), attn_cfg,
+                                     deterministic=deterministic, rng=r_attn)
+        x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
+        if not exclude_mlp:
+            h = layer_norm(x, params["norm2"]["scale"], params["norm2"]["bias"])
+            m = mlp_apply(params["mlp"], h, dropout=attn_cfg.dropout,
+                          deterministic=deterministic, rng=r_mlp)
+            x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
+    else:
+        a = shifted_window_attention(params["attn"], q, k, v, attn_cfg,
+                                     deterministic=deterministic, rng=r_attn)
+        x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
+        if not exclude_mlp:
+            m = mlp_apply(params["mlp"], x, dropout=attn_cfg.dropout,
+                          deterministic=deterministic, rng=r_mlp)
+            x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# StyleEncoder
+# ---------------------------------------------------------------------------
+
+def init_style_encoder(key, cfg: StyleTransformerConfig) -> dict:
+    k_blk, k_key, k_scale, k_shift = jax.random.split(key, 4)
+    d = cfg.encoder_dim
+    hidden = int(d * cfg.encoder_mlp_ratio)
+    return {
+        "shared_mha": init_style_swin_block(
+            k_blk, cfg.encoder_attn(), use_norm=cfg.encoder_use_norm,
+            exclude_mlp=True, mlp_ratio=cfg.encoder_mlp_ratio),
+        # NOTE: the reference *intends* xavier init for these three MLPs but
+        # its isinstance-over-generators loop never fires
+        # (codes/style_transformer.py:847-851), leaving torch-default init.
+        # We implement the intended xavier init (trainers may re-init anyway).
+        "mlp_key": init_mlp(k_key, d, hidden, init="xavier_uniform"),
+        "mlp_scale": init_mlp(k_scale, d, hidden, init="xavier_uniform"),
+        "mlp_shift": init_mlp(k_shift, d, hidden, init="xavier_uniform"),
+    }
+
+
+def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
+                        Shift: jnp.ndarray, cfg: StyleTransformerConfig, *,
+                        deterministic: bool = True,
+                        rng: Optional[jax.Array] = None
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One shared MHA applied 3x (Key self-attn; Scale and Shift cross-attn
+    with the Key as Q/K), each followed by its own MLP + stochastic-depth
+    residual (reference: codes/style_transformer.py:855-912)."""
+    acfg = cfg.encoder_attn()
+    sd = cfg.encoder_stochastic_depth_prob
+    rs = _split(rng, 9)
+
+    def block(q, k, v, calc_key, r):
+        return style_swin_block_apply(
+            params["shared_mha"], q, k, v, acfg, use_norm=cfg.encoder_use_norm,
+            exclude_mlp=True, sd_prob=sd, calculating_key=calc_key,
+            deterministic=deterministic, rng=r)
+
+    def mlp_res(x, mlp_params, r_mlp, r_sd):
+        m = mlp_apply(mlp_params, x, dropout=cfg.encoder_dropout,
+                      deterministic=deterministic, rng=r_mlp)
+        return x + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)
+
+    if cfg.encoder_if_use_processed_Key_in_Scale_and_Shift_calculation:
+        Key = block(Key, Key, Key, True, rs[0])
+        Key = mlp_res(Key, params["mlp_key"], rs[1], rs[2])
+        Scale = block(Key, Key, Scale, False, rs[3])
+        Scale = mlp_res(Scale, params["mlp_scale"], rs[4], rs[5])
+        Shift = block(Key, Key, Shift, False, rs[6])
+        Shift = mlp_res(Shift, params["mlp_shift"], rs[7], rs[8])
+    else:
+        Scale = block(Key, Key, Scale, False, rs[0])
+        Scale = mlp_res(Scale, params["mlp_scale"], rs[1], rs[2])
+        Shift = block(Key, Key, Shift, False, rs[3])
+        Shift = mlp_res(Shift, params["mlp_shift"], rs[4], rs[5])
+        Key = block(Key, Key, Key, True, rs[6])
+        Key = mlp_res(Key, params["mlp_key"], rs[7], rs[8])
+    return Key, Scale, Shift
+
+
+# ---------------------------------------------------------------------------
+# StyleDecoder
+# ---------------------------------------------------------------------------
+
+def init_style_decoder(key, cfg: StyleTransformerConfig) -> dict:
+    k_self, k_dual, k_last, k_aff, k_lk, k_ls, k_lsh, k_ps, k_pm = jax.random.split(key, 9)
+    d = cfg.decoder_dim
+    hidden = int(d * cfg.decoder_mlp_ratio)
+    p = {
+        "self_mha": init_style_swin_block(
+            k_self, cfg.decoder_attn(), use_norm=cfg.decoder_use_norm,
+            exclude_mlp=cfg.decoder_exclude_MLP_after_Fcs_self_MHA,
+            mlp_ratio=cfg.decoder_mlp_ratio),
+        # last MLP keeps torch-default init in the Swin-tail path; xavier in
+        # the regular-MHA path (reference: codes/style_transformer.py:1037-1041)
+        "last_mlp": init_mlp(
+            k_last, d, hidden,
+            init=("xavier_uniform" if cfg.decoder_use_regular_MHA_instead_of_Swin_at_the_end
+                  else "torch_default")),
+    }
+    if cfg.decoder_use_instance_norm_with_affine:
+        p["in_q"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+        p["in_k"] = {"scale": jnp.ones((d,)), "bias": jnp.zeros((d,))}
+    if not cfg.decoder_use_regular_MHA_instead_of_Swin_at_the_end:
+        p["dual_mha"] = init_dual_value_window_attention(
+            k_dual, cfg.decoder_attn(), use_q_proj=False)
+    else:
+        p["lin_key"] = init_linear(k_lk, d, d)
+        p["lin_scale"] = init_linear(k_ls, d, d)
+        p["lin_shift"] = init_linear(k_lsh, d, d)
+        p["proj_sigma"] = init_linear(k_ps, d, d)
+        p["proj_mu"] = init_linear(k_pm, d, d)
+    return p
+
+
+def style_decoder_apply(params: dict, Fcs: jnp.ndarray, Key: jnp.ndarray,
+                        Scale: jnp.ndarray, Shift: jnp.ndarray,
+                        cfg: StyleTransformerConfig, *,
+                        deterministic: bool = True,
+                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Fcs self-attention -> IN(Q)/IN(K) -> dual-value MHA -> modulation
+    Fcs' = Query*sigma + mu -> final MLP residual
+    (reference: codes/style_transformer.py:1045-1128)."""
+    acfg = cfg.decoder_attn()
+    sd = cfg.decoder_stochastic_depth_prob
+    r_self, r_dual, r_mlp, r_sd = _split(rng, 4)
+
+    Query = style_swin_block_apply(
+        params["self_mha"], Fcs, Fcs, Fcs, acfg, use_norm=cfg.decoder_use_norm,
+        exclude_mlp=cfg.decoder_exclude_MLP_after_Fcs_self_MHA,
+        sd_prob=sd, calculating_key=True,
+        deterministic=deterministic, rng=r_self)
+
+    affine = cfg.decoder_use_instance_norm_with_affine
+
+    def _in(x, which):
+        if affine:
+            aff = params[which]
+            return instance_norm(x, scale=aff["scale"], bias=aff["bias"])
+        return instance_norm(x)
+
+    if not cfg.decoder_use_regular_MHA_instead_of_Swin_at_the_end:
+        # IN applied here AND again inside the dual attention on Q / K —
+        # the reference applies both (codes/style_transformer.py:1053-1057
+        # then :468, :520-530); replicated for parity.
+        Query_IN = _in(Query, "in_q")
+        Key_IN = _in(Key, "in_k")
+        in_params = ({"q": params["in_q"], "k": params["in_k"]} if affine else None)
+        sigma, mu = shifted_window_attention_dual_value(
+            params["dual_mha"], Query_IN, Key_IN, Scale, Shift, acfg,
+            use_q_proj=False,
+            key_instance_norm_after_linear=cfg.decoder_use_Key_instance_norm_after_linear_transformation,
+            instance_norm_params=in_params,
+            deterministic=deterministic, rng=r_dual)
+    else:
+        # plain (non-windowed) MHA tail over flattened tokens
+        # (reference: codes/style_transformer.py:1063-1119)
+        b, h, w, c = Query.shape
+        Q = Query.reshape(b, h * w, c)
+        K = Key.reshape(b, h * w, c)
+        S = Scale.reshape(b, h * w, c)
+        Sh = Shift.reshape(b, h * w, c)
+        if cfg.decoder_use_Key_instance_norm_after_linear_transformation:
+            K = linear(params["lin_key"], K)
+            Q_IN = _in(Q, "in_q")
+            K = _in(K, "in_k")
+        else:
+            Q_IN = _in(Q, "in_q")
+            K = _in(K, "in_k")
+            K = linear(params["lin_key"], K)
+        S = linear(params["lin_scale"], S)
+        Sh = linear(params["lin_shift"], Sh)
+        Q_IN = Q_IN * (c ** -0.5)
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bmc->bnm", Q_IN, K, preferred_element_type=jnp.float32),
+            axis=-1).astype(Q.dtype)
+        sigma = linear(params["proj_sigma"], jnp.einsum("bnm,bmc->bnc", attn, S))
+        mu = linear(params["proj_mu"], jnp.einsum("bnm,bmc->bnc", attn, Sh))
+        sigma = sigma.reshape(b, h, w, c)
+        mu = mu.reshape(b, h, w, c)
+
+    Query = Query * sigma + mu
+    m = mlp_apply(params["last_mlp"], Query, dropout=cfg.decoder_dropout,
+                  deterministic=deterministic, rng=r_mlp)
+    Query = Query + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)
+    return Query
+
+
+# ---------------------------------------------------------------------------
+# StyleTransformer (stacked k iterations of the shared enc/dec pair)
+# ---------------------------------------------------------------------------
+
+def init_style_transformer(key, cfg: StyleTransformerConfig) -> dict:
+    k_enc, k_dec = jax.random.split(key)
+    return {"encoder": init_style_encoder(k_enc, cfg),
+            "decoder": init_style_decoder(k_dec, cfg)}
+
+
+def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
+                            cfg: StyleTransformerConfig, *, k: int = 1,
+                            max_k: Optional[int] = None,
+                            deterministic: bool = True,
+                            rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Run k stacked iterations of (encoder, decoder) with shared params
+    (reference: codes/style_transformer.py:1229-1245).
+
+    If `max_k` is None, k must be a static python int and the loop unrolls.
+    If `max_k` is given, k may be a traced scalar in [1, max_k]: a lax.scan of
+    max_k iterations runs with per-step masking (iterations >= k keep the old
+    carry), which keeps shapes static and stays reverse-differentiable.
+    """
+    Scale = Fs
+    Shift = Fs
+
+    def one_iter(Fc, Fs, Scale, Shift, r):
+        r_enc, r_dec = _split(r, 2)
+        Fs2, Scale2, Shift2 = style_encoder_apply(
+            params["encoder"], Fs, Scale, Shift, cfg,
+            deterministic=deterministic, rng=r_enc)
+        Fc2 = style_decoder_apply(
+            params["decoder"], Fc, Fs2, Scale2, Shift2, cfg,
+            deterministic=deterministic, rng=r_dec)
+        return Fc2, Fs2, Scale2, Shift2
+
+    if max_k is None:
+        for _ in range(int(k)):
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            Fc, Fs, Scale, Shift = one_iter(Fc, Fs, Scale, Shift, sub)
+        return Fc
+
+    def body(carry, xs):
+        i, r = xs
+        Fc, Fs, Scale, Shift = carry
+        Fc2, Fs2, Scale2, Shift2 = one_iter(Fc, Fs, Scale, Shift, r)
+        active = i < k
+        sel = lambda new, old: jnp.where(active, new, old)
+        return (sel(Fc2, Fc), sel(Fs2, Fs), sel(Scale2, Scale), sel(Shift2, Shift)), None
+
+    iters = jnp.arange(max_k)
+    # scan xs must be arrays: use a dummy key when rng is None (deterministic
+    # mode never consumes it — stochastic depth/dropout are identity).
+    rngs = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0), max_k)
+    (Fc, _, _, _), _ = jax.lax.scan(body, (Fc, Fs, Scale, Shift), (iters, rngs))
+    return Fc

@@ -1,0 +1,237 @@
+"""Shifted-window attention ops (XLA path), generalized to separate Q/K/V
+inputs (cross attention) and to dual value streams.
+
+These are the hot ops of the framework. Math parity targets:
+  - shifted_window_attention: reference codes/style_transformer.py:37-169
+    (torchvision W-MSA/SW-MSA generalized to distinct Q/K/V inputs + weights)
+  - shifted_window_attention_dual_value: reference
+    codes/style_transformer.py:414-611 (one attention map, two value streams
+    producing the per-pixel scale sigma and shift mu)
+
+TPU-first design notes:
+  * NHWC throughout; window partition is pure reshape/transpose (layout changes
+    XLA folds into the surrounding ops).
+  * Shift masks and relative-position indices are numpy constants computed from
+    static shapes (ops/windows.py) — nothing data-dependent under jit.
+  * softmax and attention logits accumulate in float32 even under bfloat16
+    compute (preferred_element_type); the MXU handles the (B*nW, N, C) batched
+    matmuls.
+  * A fused Pallas kernel (ops/pallas_attention.py) replaces this path for the
+    production configs; this XLA path is the always-correct reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mastermetastyletransfer_tpu.config import AttentionConfig
+from mastermetastyletransfer_tpu.ops.mlp import init_linear, linear, trunc_normal
+from mastermetastyletransfer_tpu.ops.norm import instance_norm
+from mastermetastyletransfer_tpu.ops.windows import (
+    effective_shift,
+    pad_to_windows,
+    relative_position_bias,
+    shift_attention_mask,
+    window_merge,
+    window_partition,
+)
+
+
+def init_window_attention(key, cfg: AttentionConfig) -> dict:
+    """Params for the separate-Q/K/V window attention
+    (reference module: codes/style_transformer.py:175-239)."""
+    kq, kk, kv, kp, kb = jax.random.split(key, 5)
+    d = cfg.dim
+    return {
+        "wq": init_linear(kq, d, d, use_bias=cfg.qkv_bias),
+        "wk": init_linear(kk, d, d, use_bias=cfg.qkv_bias),
+        "wv": init_linear(kv, d, d, use_bias=cfg.qkv_bias),
+        "proj": init_linear(kp, d, d, use_bias=cfg.proj_bias),
+        "rel_bias_table": trunc_normal(
+            kb, ((2 * cfg.window_size[0] - 1) * (2 * cfg.window_size[1] - 1), cfg.num_heads)
+        ),
+    }
+
+
+def init_dual_value_window_attention(key, cfg: AttentionConfig,
+                                     use_q_proj: bool = False) -> dict:
+    """Params for the decoder-last dual-value attention
+    (reference module: codes/style_transformer.py:616-688)."""
+    kq, kk, ks, ksh, kp, kb = jax.random.split(key, 6)
+    d = cfg.dim
+    p = {
+        "wk": init_linear(kk, d, d, use_bias=cfg.qkv_bias),
+        "wv_scale": init_linear(ks, d, d, use_bias=cfg.qkv_bias),
+        "wv_shift": init_linear(ksh, d, d, use_bias=cfg.qkv_bias),
+        "proj": init_linear(kp, d, d, use_bias=cfg.proj_bias),
+        "rel_bias_table": trunc_normal(
+            kb, ((2 * cfg.window_size[0] - 1) * (2 * cfg.window_size[1] - 1), cfg.num_heads)
+        ),
+    }
+    if use_q_proj:
+        p["wq"] = init_linear(kq, d, d, use_bias=cfg.qkv_bias)
+    return p
+
+
+def _dropout(x, p, deterministic, rng):
+    if deterministic or p == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0).astype(x.dtype)
+
+
+def _prepare(imgs: Sequence[jnp.ndarray], window: Tuple[int, int],
+             shift: Tuple[int, int]):
+    """Shared pad -> effective shift -> roll -> window partition."""
+    b, h, w, _ = imgs[0].shape
+    wh, ww = window
+    padded = [pad_to_windows(x, wh, ww)[0] for x in imgs]
+    pad_h, pad_w = padded[0].shape[1], padded[0].shape[2]
+    sh, sw = effective_shift(pad_h, pad_w, window, shift)
+    if sh or sw:
+        padded = [jnp.roll(x, shift=(-sh, -sw), axis=(1, 2)) for x in padded]
+    wins = [window_partition(x, wh, ww) for x in padded]
+    geom = dict(b=b, h=h, w=w, pad_h=pad_h, pad_w=pad_w, sh=sh, sw=sw)
+    return wins, geom
+
+
+def _finalize(x_win: jnp.ndarray, geom: dict, window: Tuple[int, int]) -> jnp.ndarray:
+    """Shared window merge -> un-roll -> un-pad."""
+    wh, ww = window
+    x = window_merge(x_win, geom["b"], geom["pad_h"], geom["pad_w"], wh, ww)
+    if geom["sh"] or geom["sw"]:
+        x = jnp.roll(x, shift=(geom["sh"], geom["sw"]), axis=(1, 2))
+    return x[:, : geom["h"], : geom["w"], :]
+
+
+def _attention_weights(q_win, k_win, params, cfg: AttentionConfig, geom,
+                       deterministic, rng):
+    """softmax(q k^T / sqrt(d) + rel_bias + shift_mask) over window tokens."""
+    wh, ww = cfg.window_size
+    n = wh * ww
+    heads, d_head = cfg.num_heads, cfg.dim // cfg.num_heads
+    bn = q_win.shape[0]
+
+    q = q_win.reshape(bn, n, heads, d_head)
+    k = k_win.reshape(bn, n, heads, d_head)
+    q = q * (d_head ** -0.5)
+    attn = jnp.einsum("wnhd,wmhd->whnm", q, k,
+                      preferred_element_type=jnp.float32)
+
+    bias = relative_position_bias(params["rel_bias_table"], wh, ww)
+    attn = attn + bias[None].astype(attn.dtype)
+
+    if geom["sh"] or geom["sw"]:
+        mask = jnp.asarray(shift_attention_mask(
+            geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"]))
+        nw = mask.shape[0]
+        attn = attn.reshape(geom["b"], nw, heads, n, n)
+        attn = attn + mask[None, :, None].astype(attn.dtype)
+        attn = attn.reshape(bn, heads, n, n)
+
+    attn = jax.nn.softmax(attn, axis=-1)
+    attn = _dropout(attn, cfg.attention_dropout, deterministic, rng)
+    return attn
+
+
+def _apply_values(attn, v_win, proj_params, cfg: AttentionConfig):
+    wh, ww = cfg.window_size
+    n = wh * ww
+    heads, d_head = cfg.num_heads, cfg.dim // cfg.num_heads
+    bn = v_win.shape[0]
+    v = v_win.reshape(bn, n, heads, d_head)
+    x = jnp.einsum("whnm,wmhd->wnhd", attn.astype(v.dtype), v,
+                   preferred_element_type=jnp.float32)
+    x = x.reshape(bn, n, cfg.dim).astype(v_win.dtype)
+    return linear(proj_params, x)
+
+
+def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
+                             v_in: jnp.ndarray, cfg: AttentionConfig, *,
+                             deterministic: bool = True,
+                             rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """W-MSA / SW-MSA with separate Q/K/V inputs and weights.
+
+    Inputs are NHWC (B, H, W, C); output has the same shape. Numerics mirror
+    reference codes/style_transformer.py:37-169: pad -> roll -> partition ->
+    per-head scaled dot-product with relative-position bias (+ shift mask) ->
+    value matmul -> output projection -> merge -> un-roll -> un-pad.
+    """
+    (qw, kw, vw), geom = _prepare([q_in, k_in, v_in], cfg.window_size, cfg.shift_size)
+    r1 = r2 = None
+    if rng is not None:
+        r1, r2 = jax.random.split(rng)
+    q = linear(params["wq"], qw)
+    k = linear(params["wk"], kw)
+    v = linear(params["wv"], vw)
+    attn = _attention_weights(q, k, params, cfg, geom, deterministic, r1)
+    x = _apply_values(attn, v, params["proj"], cfg)
+    x = _dropout(x, cfg.dropout, deterministic, r2)
+    return _finalize(x, geom, cfg.window_size)
+
+
+def shifted_window_attention_dual_value(
+        params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
+        v_scale_in: jnp.ndarray, v_shift_in: jnp.ndarray, cfg: AttentionConfig, *,
+        use_q_proj: bool = False,
+        key_instance_norm_after_linear: bool = True,
+        instance_norm_params: Optional[dict] = None,
+        deterministic: bool = True,
+        rng: Optional[jax.Array] = None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dual-value shifted-window attention: one softmax(QK^T), two value
+    streams through a shared output projection, yielding (sigma, mu).
+
+    Mirrors reference codes/style_transformer.py:414-611 including the
+    instance-norm placements: Q is instance-normed on entry (:468); K is
+    instance-normed either before its linear (:470-472) or after it, with the
+    statistics taken over the whole padded/rolled grid (:520-530). IN over
+    spatial positions is permutation-invariant, so we keep K in window layout
+    and normalize over (B, all-window-tokens) instead of un-rolling.
+
+    `instance_norm_params` carries optional affine {"q": {scale, bias},
+    "k": {...}} for decoder_use_instance_norm_with_affine.
+    """
+    inp = instance_norm_params or {}
+
+    def _in(x, which):
+        aff = inp.get(which)
+        if aff is None:
+            return instance_norm(x)
+        return instance_norm(x, scale=aff["scale"], bias=aff["bias"])
+
+    q_in = _in(q_in, "q")
+    if not key_instance_norm_after_linear:
+        k_in = _in(k_in, "k")
+
+    (qw, kw, vsw, vshw), geom = _prepare(
+        [q_in, k_in, v_scale_in, v_shift_in], cfg.window_size, cfg.shift_size)
+
+    r1 = r2 = r3 = None
+    if rng is not None:
+        r1, r2, r3 = jax.random.split(rng, 3)
+
+    q = linear(params["wq"], qw) if use_q_proj else qw
+    k = linear(params["wk"], kw)
+    v_scale = linear(params["wv_scale"], vsw)
+    v_shift = linear(params["wv_shift"], vshw)
+
+    if key_instance_norm_after_linear:
+        # IN statistics over the full padded grid: reshape windows back to
+        # (B, tokens, C) — equivalent to un-rolling since IN is spatial-
+        # permutation invariant (reference: codes/style_transformer.py:520-530).
+        bn, n, c = k.shape
+        k = _in(k.reshape(geom["b"], (bn // geom["b"]) * n, c), "k").reshape(bn, n, c)
+
+    attn = _attention_weights(q, k, params, cfg, geom, deterministic, r1)
+
+    sigma = _apply_values(attn, v_scale, params["proj"], cfg)
+    sigma = _dropout(sigma, cfg.dropout, deterministic, r2)
+    sigma = _finalize(sigma, geom, cfg.window_size)
+
+    mu = _apply_values(attn, v_shift, params["proj"], cfg)
+    mu = _dropout(mu, cfg.dropout, deterministic, r3)
+    mu = _finalize(mu, geom, cfg.window_size)
+    return sigma, mu

@@ -1,0 +1,197 @@
+"""Unit parity tests: vectorized JAX ops vs the naive numpy oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mastermetastyletransfer_tpu.config import AttentionConfig
+from mastermetastyletransfer_tpu.ops import (
+    instance_norm, layer_norm,
+    relative_position_index, shift_attention_mask,
+    window_partition, window_merge,
+    init_window_attention, shifted_window_attention,
+    init_dual_value_window_attention, shifted_window_attention_dual_value,
+)
+from mastermetastyletransfer_tpu.ops.mlp import init_mlp, mlp_apply
+
+from tests import oracle
+
+
+def test_relative_position_index():
+    for wh, ww in [(7, 7), (8, 8), (3, 5)]:
+        got = relative_position_index(wh, ww).reshape(wh * ww, wh * ww)
+        want = oracle.naive_relative_position_index(wh, ww)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_shift_mask_matches_region_ids():
+    pad_h = pad_w = 35
+    wh = ww = 7
+    sh = sw = 4
+    mask = shift_attention_mask(pad_h, pad_w, wh, ww, sh, sw)
+    # check one boundary window against the oracle's per-pixel region logic
+    widx = 0
+    for wy in range(pad_h // wh):
+        for wx in range(pad_w // ww):
+            ids = [oracle._region_id(wy * wh + ty, wx * ww + tx,
+                                     pad_h, pad_w, wh, ww, sh, sw)
+                   for ty in range(wh) for tx in range(ww)]
+            ids = np.array(ids)
+            want = np.where(ids[None, :] != ids[:, None], -100.0, 0.0)
+            np.testing.assert_array_equal(mask[widx], want)
+            widx += 1
+
+
+def test_window_partition_roundtrip(rng):
+    x = rng.standard_normal((2, 14, 21, 8)).astype(np.float32)
+    wins = window_partition(jnp.asarray(x), 7, 7)
+    assert wins.shape == (2 * 2 * 3, 49, 8)
+    back = window_merge(wins, 2, 14, 21, 7, 7)
+    np.testing.assert_array_equal(np.asarray(back), x)
+
+
+def test_instance_norm_parity(rng):
+    x = rng.standard_normal((2, 9, 11, 5)).astype(np.float32) * 3 + 1
+    got = np.asarray(instance_norm(jnp.asarray(x)))
+    want = oracle.naive_instance_norm(x)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    got2 = np.asarray(instance_norm(instance_norm(jnp.asarray(x))))
+    assert np.isfinite(got2).all()
+
+
+def test_layer_norm_parity(rng):
+    x = rng.standard_normal((4, 10, 16)).astype(np.float32)
+    scale = rng.standard_normal(16).astype(np.float32)
+    bias = rng.standard_normal(16).astype(np.float32)
+    got = np.asarray(layer_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias)))
+    want = oracle.naive_layer_norm(x, scale, bias)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_mlp_gelu_parity(rng):
+    params = init_mlp(jax.random.PRNGKey(0), 8, 32)
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    got = np.asarray(mlp_apply(params, jnp.asarray(x)))
+    k1 = np.asarray(params["fc1"]["kernel"], dtype=np.float64)
+    b1 = np.asarray(params["fc1"]["bias"], dtype=np.float64)
+    k2 = np.asarray(params["fc2"]["kernel"], dtype=np.float64)
+    b2 = np.asarray(params["fc2"]["bias"], dtype=np.float64)
+    want = oracle.gelu(x.astype(np.float64) @ k1 + b1) @ k2 + b2
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def _np_params(p):
+    return jax.tree_util.tree_map(lambda a: np.asarray(a, dtype=np.float64), p)
+
+
+@pytest.mark.parametrize("shape,window,shift", [
+    ((2, 32, 32, 32), (7, 7), (4, 4)),   # needs padding 32->35, shifted
+    ((1, 16, 16, 32), (8, 8), (4, 4)),   # exact multiple, shifted
+    ((1, 16, 16, 32), (8, 8), (0, 0)),   # unshifted
+    ((1, 7, 7, 32), (7, 7), (4, 4)),     # window covers grid -> shift disabled
+])
+def test_shifted_window_attention_parity(rng, shape, window, shift):
+    cfg = AttentionConfig(dim=shape[-1], num_heads=4, window_size=window,
+                          shift_size=shift)
+    params = init_window_attention(jax.random.PRNGKey(1), cfg)
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    v = rng.standard_normal(shape).astype(np.float32)
+
+    got = np.asarray(shifted_window_attention(
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), cfg))
+
+    p = _np_params(params)
+    want = oracle.naive_shifted_window_attention(
+        q.astype(np.float64), k.astype(np.float64), [v.astype(np.float64)],
+        p["wq"]["kernel"], p["wq"]["bias"],
+        p["wk"]["kernel"], p["wk"]["bias"],
+        [p["wv"]["kernel"]], [p["wv"]["bias"]],
+        p["proj"]["kernel"], p["proj"]["bias"],
+        p["rel_bias_table"],
+        window[0], window[1], shift[0], shift[1], cfg.num_heads)[0]
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_dual_value_attention_parity(rng):
+    """Dual-value decoder attention vs oracle, including the IN placements:
+    IN(Q) on entry, IN(K) after its linear over the whole padded grid
+    (reference: codes/style_transformer.py:468, :520-530).
+
+    Uses a window size that divides the grid (no padding) so the oracle can
+    inject the pre-projected K exactly; the padded case is covered by
+    test_dual_value_attention_in_before_linear_padded below.
+    """
+    shape = (2, 32, 32, 32)
+    window, shift = (8, 8), (4, 4)
+    cfg = AttentionConfig(dim=32, num_heads=4, window_size=window, shift_size=shift)
+    params = init_dual_value_window_attention(jax.random.PRNGKey(2), cfg)
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    vs = rng.standard_normal(shape).astype(np.float32)
+    vsh = rng.standard_normal(shape).astype(np.float32)
+
+    sigma, mu = shifted_window_attention_dual_value(
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(vs), jnp.asarray(vsh),
+        cfg, use_q_proj=False, key_instance_norm_after_linear=True)
+
+    # oracle: replicate the reference order naively
+    p = _np_params(params)
+    wh, ww = window
+    b, h, w, c = shape
+    q64 = oracle.naive_instance_norm(q.astype(np.float64))
+    k64 = k.astype(np.float64)
+    pad_b, pad_r = (-h) % wh, (-w) % ww
+    kp = np.pad(k64, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+    kp = np.roll(kp, (-shift[0], -shift[1]), axis=(1, 2))
+    k_lin = kp @ p["wk"]["kernel"] + p["wk"]["bias"]
+    k_lin = oracle.naive_instance_norm(k_lin)
+    # naive attention with pre-projected, pre-IN'd K: pass identity K weights
+    eye = np.eye(c)
+    # un-roll/unpad k back so the oracle pipeline (pad+roll) reproduces it
+    k_unrolled = np.roll(k_lin, (shift[0], shift[1]), axis=(1, 2))[:, :h, :w, :]
+    want_sigma, want_mu = oracle.naive_shifted_window_attention(
+        q64, k_unrolled, [vs.astype(np.float64), vsh.astype(np.float64)],
+        None, None, eye, None,
+        [p["wv_scale"]["kernel"], p["wv_shift"]["kernel"]],
+        [p["wv_scale"]["bias"], p["wv_shift"]["bias"]],
+        p["proj"]["kernel"], p["proj"]["bias"],
+        p["rel_bias_table"], wh, ww, shift[0], shift[1], cfg.num_heads,
+        q_proj=False)
+    np.testing.assert_allclose(np.asarray(sigma), want_sigma, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=2e-4)
+
+
+def test_dual_value_attention_in_before_linear_padded(rng):
+    """Variant with use_Key_instance_norm_after_linear_transformation=False
+    (reference: codes/style_transformer.py:470-472): IN(K) happens on the raw
+    NHWC input before padding, so the padded case is oracle-exact."""
+    shape = (1, 32, 32, 32)
+    window, shift = (7, 7), (4, 4)
+    cfg = AttentionConfig(dim=32, num_heads=4, window_size=window, shift_size=shift)
+    params = init_dual_value_window_attention(jax.random.PRNGKey(3), cfg,
+                                              use_q_proj=True)
+    q = rng.standard_normal(shape).astype(np.float32)
+    k = rng.standard_normal(shape).astype(np.float32)
+    vs = rng.standard_normal(shape).astype(np.float32)
+    vsh = rng.standard_normal(shape).astype(np.float32)
+
+    sigma, mu = shifted_window_attention_dual_value(
+        params, jnp.asarray(q), jnp.asarray(k), jnp.asarray(vs), jnp.asarray(vsh),
+        cfg, use_q_proj=True, key_instance_norm_after_linear=False)
+
+    p = _np_params(params)
+    q64 = oracle.naive_instance_norm(q.astype(np.float64))
+    k64 = oracle.naive_instance_norm(k.astype(np.float64))
+    want_sigma, want_mu = oracle.naive_shifted_window_attention(
+        q64, k64, [vs.astype(np.float64), vsh.astype(np.float64)],
+        p["wq"]["kernel"], p["wq"]["bias"],
+        p["wk"]["kernel"], p["wk"]["bias"],
+        [p["wv_scale"]["kernel"], p["wv_shift"]["kernel"]],
+        [p["wv_scale"]["bias"], p["wv_shift"]["bias"]],
+        p["proj"]["kernel"], p["proj"]["bias"],
+        p["rel_bias_table"], window[0], window[1], shift[0], shift[1],
+        cfg.num_heads, q_proj=True)
+    np.testing.assert_allclose(np.asarray(sigma), want_sigma, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(mu), want_mu, atol=2e-4)
