@@ -1,0 +1,83 @@
+"""Full model composition: frozen Swin encoder -> StyleTransformer -> CNN
+decoder (reference: codes/full_model.py:21-226).
+
+TPU-native: one pure `master_apply` covering the whole forward, NHWC
+throughout (no NHWC<->NCHW permutes), jit-compiled via `make_stylize_fn`
+with static layer count k and compute-dtype policy.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mastermetastyletransfer_tpu.config import ModelConfig
+from mastermetastyletransfer_tpu.models.decoder import cnn_decoder_apply, init_cnn_decoder
+from mastermetastyletransfer_tpu.models.style_transformer import (
+    init_style_transformer, style_transformer_apply,
+)
+from mastermetastyletransfer_tpu.models.swin import init_swin_backbone, swin_backbone_apply
+
+
+def init_master_model(key, cfg: ModelConfig) -> dict:
+    k_swin, k_st, k_dec = jax.random.split(key, 3)
+    return {
+        "swin": init_swin_backbone(k_swin, cfg.swin),
+        "style_transformer": init_style_transformer(k_st, cfg.transformer),
+        "decoder": init_cnn_decoder(k_dec, cfg.decoder),
+    }
+
+
+def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
+                 cfg: ModelConfig, *, k: int = 1, max_k: Optional[int] = None,
+                 deterministic: bool = True,
+                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Stylize `content` with `style` (both NHWC RGB, already normalized the
+    way the swin encoder expects). Mirrors MasterStyleTransferModel.forward
+    (reference: codes/full_model.py:214-226): swin(content), swin(style) ->
+    style_transformer(Fc, Fs, k) -> CNN decoder -> RGB.
+
+    k = number of stacked style-transformer iterations (ZS-L1 vs ZS-L3 knob);
+    pass max_k to allow a traced k (training with random k).
+    """
+    dtype = jnp.dtype(cfg.compute_dtype)
+    content = content.astype(dtype)
+    style = style.astype(dtype)
+
+    r_st = None
+    if rng is not None:
+        rng, r_st = jax.random.split(rng)
+
+    # Swin freezing is handled by optimizer masking in train/ (the reference
+    # freezes it via requires_grad, train.py:216-218, but can unfreeze).
+    fc = swin_backbone_apply(params["swin"], content, cfg.swin)
+    fs = swin_backbone_apply(params["swin"], style, cfg.swin)
+
+    fcs = style_transformer_apply(
+        params["style_transformer"], fc, fs, cfg.transformer,
+        k=k, max_k=max_k, deterministic=deterministic, rng=r_st)
+
+    out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
+    return out.astype(jnp.float32)
+
+
+def make_stylize_fn(cfg: ModelConfig, k: int = 1):
+    """Jitted zero-shot stylization closure: (params, content, style) -> RGB."""
+    def stylize(params, content, style):
+        return master_apply(params, content, style, cfg, k=k, deterministic=True)
+    return jax.jit(stylize)
+
+
+IMAGENET_MEAN = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+
+
+def imagenet_normalize(x: jnp.ndarray) -> jnp.ndarray:
+    """NHWC [0,1] RGB -> ImageNet-normalized (reference: train.py:418-424)."""
+    return (x - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def imagenet_denormalize(x: jnp.ndarray) -> jnp.ndarray:
+    return x * IMAGENET_STD + IMAGENET_MEAN

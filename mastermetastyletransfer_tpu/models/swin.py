@@ -1,0 +1,113 @@
+"""Frozen Swin first-2-stages backbone, re-derived from the torchvision
+swin_{t,s,b} architecture the reference cuts to features[:4]
+(reference: codes/utils.py:59-102; demo codes/swin_backbone_load_example.py).
+
+Structure (NHWC): patch-embed (4x4 conv stride 4 + LayerNorm) -> stage-1
+blocks (dim E, shift 0 then window//2) -> PatchMerging (-> 2E) -> stage-2
+blocks (dim 2E). Output (B, H/8, W/8, 2E).
+
+The self-attention blocks reuse the tested generalized window-attention op
+with q=k=v; torchvision's fused qkv weights are split into thirds by the
+converter (utils/convert.py), the same surgery the reference applies when
+seeding the style transformer
+(reference: codes/load_pretrained_weights_to_style_transformer.py:52-60).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mastermetastyletransfer_tpu.config import AttentionConfig, SwinConfig
+from mastermetastyletransfer_tpu.models.style_transformer import (
+    init_style_swin_block, style_swin_block_apply,
+)
+from mastermetastyletransfer_tpu.ops.conv import conv2d
+from mastermetastyletransfer_tpu.ops.norm import layer_norm
+
+
+def _block_cfg(cfg: SwinConfig, stage: int, block_idx: int) -> AttentionConfig:
+    dim = cfg.embed_dim * (2 ** stage)
+    wh, ww = cfg.window_size
+    # torchvision alternates shift 0 / window//2 within a stage
+    shifted = block_idx % 2 == 1
+    return AttentionConfig(
+        dim=dim, num_heads=cfg.num_heads[stage], window_size=(wh, ww),
+        shift_size=((wh // 2, ww // 2) if shifted else (0, 0)))
+
+
+def init_swin_backbone(key, cfg: SwinConfig) -> dict:
+    keys = jax.random.split(key, 8)
+    e = cfg.embed_dim
+    # torch Conv2d default init for patch embed
+    fan_in = 3 * 4 * 4
+    bound = (1.0 / fan_in) ** 0.5
+    params = {
+        "patch_embed": {
+            "conv": {
+                "kernel": jax.random.uniform(keys[0], (4, 4, 3, e), jnp.float32, -bound, bound),
+                "bias": jnp.zeros((e,), jnp.float32),
+            },
+            "norm": {"scale": jnp.ones((e,)), "bias": jnp.zeros((e,))},
+        },
+        "patch_merge": {
+            "norm": {"scale": jnp.ones((4 * e,)), "bias": jnp.zeros((4 * e,))},
+            # Linear(4E -> 2E, bias=False)
+            "reduction": {"kernel": jax.random.uniform(
+                keys[1], (4 * e, 2 * e), jnp.float32,
+                -(1.0 / (4 * e)) ** 0.5, (1.0 / (4 * e)) ** 0.5)},
+        },
+    }
+    ki = 2
+    for stage in range(2):
+        for blk in range(cfg.depths[stage]):
+            acfg = _block_cfg(cfg, stage, blk)
+            params[f"stage{stage}_block{blk}"] = init_style_swin_block(
+                keys[ki], acfg, use_norm=True, exclude_mlp=False,
+                mlp_ratio=cfg.mlp_ratio)
+            ki += 1
+    return params
+
+
+def patch_merging(params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """torchvision PatchMerging: pad H,W to even, gather the 2x2 neighborhood
+    in (even-even, odd-even, even-odd, odd-odd) order, LayerNorm(4C), then
+    Linear(4C->2C, no bias)."""
+    b, h, w, c = x.shape
+    if h % 2 or w % 2:
+        x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+    x0 = x[:, 0::2, 0::2, :]
+    x1 = x[:, 1::2, 0::2, :]
+    x2 = x[:, 0::2, 1::2, :]
+    x3 = x[:, 1::2, 1::2, :]
+    x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
+    x = layer_norm(x, params["norm"]["scale"], params["norm"]["bias"])
+    return x @ params["reduction"]["kernel"].astype(x.dtype)
+
+
+def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
+                        deterministic: bool = True,
+                        rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """NHWC images (B, H, W, 3) -> NHWC features (B, H/8, W/8, 2*embed_dim)."""
+    x = conv2d(params["patch_embed"]["conv"], images, stride=4)
+    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
+                   params["patch_embed"]["norm"]["bias"])
+
+    sd_idx = 0
+    for stage in range(2):
+        if stage == 1:
+            x = patch_merging(params["patch_merge"], x)
+        for blk in range(cfg.depths[stage]):
+            acfg = _block_cfg(cfg, stage, blk)
+            sub = None
+            if rng is not None:
+                rng, sub = jax.random.split(rng)
+            x = style_swin_block_apply(
+                params[f"stage{stage}_block{blk}"], x, x, x, acfg,
+                use_norm=True, exclude_mlp=False,
+                sd_prob=cfg.stochastic_depth_probs[sd_idx],
+                calculating_key=True, deterministic=deterministic, rng=sub)
+            sd_idx += 1
+    return x
