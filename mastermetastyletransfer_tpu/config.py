@@ -229,10 +229,13 @@ class TrainConfig(_ConfigBase):
     freeze_encoder: bool = True
     save_every: int = 100
     save_every_for_model: int = 1000
-    # lr schedule (reference: train_only_inner_loop.py:321-341)
+    # lr schedule (reference: train_only_inner_loop.py:321-341; defaults from
+    # the argparse surface at train_only_inner_loop.py:697-709)
     use_lr_schedule: bool = True
-    warmup_iterations: int = 1000
-    lr_decay_rate: float = 5e-5
+    warmup_iterations: int = 0
+    lr_decay_rate: float = 0.02
+    lr_decay_every: int = 3000
+    lr_decay_until: float = 0.0
     seed: int = 42
     # Parallelism: data-parallel shards over this many devices (mesh axis "data").
     num_devices: int = 1

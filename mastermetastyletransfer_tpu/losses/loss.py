@@ -53,7 +53,12 @@ def _spatial_mean_std(f: jnp.ndarray):
     ff = f.astype(jnp.float32).reshape(b, n, c)
     mean = jnp.mean(ff, axis=1)
     var = jnp.sum(jnp.square(ff - mean[:, None, :]), axis=1) / max(n - 1, 1)
-    return mean, jnp.sqrt(var)
+    # sqrt with a zero (not NaN/inf) gradient at var == 0: a dead ReLU channel
+    # (constant feature map) otherwise poisons the whole gradient. Forward
+    # value is bit-identical to jnp.sqrt(var).
+    nonzero = var > 0
+    std = jnp.where(nonzero, jnp.sqrt(jnp.where(nonzero, var, 1.0)), 0.0)
+    return mean, std
 
 
 def style_loss(feats_style: List[jnp.ndarray], feats_output: List[jnp.ndarray],

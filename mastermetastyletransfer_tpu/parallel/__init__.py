@@ -1,0 +1,3 @@
+from mastermetastyletransfer_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh, shard_batch, replicate, batch_sharding, replicated_sharding,
+)
