@@ -1,0 +1,74 @@
+"""Headline benchmark: 512x512 zero-shot stylizations/sec on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline = the north-star target of 500 imgs/sec/chip at 512^2 on TPU v5e
+(BASELINE.json; the PyTorch reference publishes no throughput numbers).
+
+Forward = frozen Swin-B first-2-stages encoder on content+style ->
+StyleTransformer (k=1) -> CNN decoder, bfloat16 compute, batched.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    args = ap.parse_args()
+
+    from mastermetastyletransfer_tpu.config import ModelConfig
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.models.master import master_apply
+
+    cfg = ModelConfig(compute_dtype=args.dtype)
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def stylize(params, content, style):
+        return master_apply(params, content, style, cfg, k=args.k,
+                            deterministic=True)
+
+    b, s = args.batch, args.size
+    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
+    style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3), jnp.float32)
+
+    # NOTE: through the remote-TPU tunnel block_until_ready() returns without
+    # waiting; only a host transfer (device_get) forces completion. Fetch one
+    # pixel to sync (device execution is FIFO, so this drains the queue).
+    def sync(x):
+        jax.device_get(x[0, 0, 0, 0])
+
+    for _ in range(args.warmup):
+        sync(stylize(params, content, style))
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(args.iters):
+        out = stylize(params, content, style)
+    sync(out)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = args.iters * b / dt
+    baseline = 500.0  # north-star target imgs/sec/chip @512^2 (BASELINE.json)
+    print(json.dumps({
+        "metric": f"{s}x{s} stylized imgs/sec/chip (k={args.k}, {args.dtype})",
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,183 @@
+"""Data pipeline: COCO content + WikiArt style streams.
+
+Reference behavior covered (codes/get_dataloader.py, train.py:222-245,411-416):
+- endless reshuffled index stream (InfiniteSampler, get_dataloader.py:10-19)
+- per-item decode -> RGB -> resize(512,512) -> random/center-crop(256)
+- one style image per step repeated to the content batch size
+- multi-worker prefetch (DataLoader(num_workers=4, pin_memory))
+
+TPU-native split: the host only decodes and resizes to the fixed staging size
+(variable JPEG shapes must become static before jit); crop + [0,1] scaling +
+ImageNet normalization run on-device inside the jitted step
+(device_preprocess_batch), so HBM is fed uint8 at 1/4 the bandwidth of fp32.
+Prefetch uses a thread pool + bounded queue (PIL decode releases the GIL).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import DataConfig
+
+_EXTS = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+
+
+def list_images(root: str, recursive: bool = True) -> List[str]:
+    """All image files under root (reference globs *.jpg flat for COCO,
+    recursive for wikiart — get_dataloader.py:30,81)."""
+    pat = os.path.join(root, "**", "*") if recursive else os.path.join(root, "*")
+    files = [f for f in glob.glob(pat, recursive=recursive)
+             if f.lower().endswith(_EXTS)]
+    files.sort()
+    return files
+
+
+class InfiniteIndexSampler:
+    """Endless reshuffled index stream (reference: get_dataloader.py:10-19)."""
+
+    def __init__(self, n: int, seed: int = 0):
+        if n <= 0:
+            raise ValueError("empty dataset")
+        self.n = n
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[int]:
+        while True:
+            order = self._rng.permutation(self.n)
+            for i in order:
+                yield int(i)
+
+
+def _decode_resize(path: str, resize_to: int) -> np.ndarray:
+    """Host side: decode -> RGB -> bilinear resize to (resize_to, resize_to)
+    uint8 HWC (reference: cv2 BGR->RGB + transforms.Resize((512,512)),
+    get_dataloader.py:63-69)."""
+    from PIL import Image
+
+    with Image.open(path) as im:
+        im = im.convert("RGB").resize((resize_to, resize_to), Image.BILINEAR)
+        return np.asarray(im, dtype=np.uint8)
+
+
+class ImageFolderDataset:
+    """Decoded+staged image dataset over a directory."""
+
+    def __init__(self, root: str, resize_to: int = 512, recursive: bool = True):
+        self.files = list_images(root, recursive=recursive)
+        self.resize_to = resize_to
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        return _decode_resize(self.files[i], self.resize_to)
+
+
+class PrefetchLoader:
+    """Thread-pool batch loader with a bounded prefetch queue.
+
+    Yields uint8 (B, resize_to, resize_to, 3) batches forever.
+    """
+
+    def __init__(self, dataset, batch_size: int, *, num_workers: int = 4,
+                 seed: int = 0, prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self._sampler = iter(InfiniteIndexSampler(len(dataset), seed))
+        self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(1, num_workers))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _next_indices(self) -> List[int]:
+        with self._lock:
+            return [next(self._sampler) for _ in range(self.batch_size)]
+
+    def _worker(self):
+        while not self._stop.is_set():
+            idx = self._next_indices()
+            batch = np.stack([self.dataset[i] for i in idx])
+            while not self._stop.is_set():
+                try:
+                    self._q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+
+
+def device_preprocess_batch(batch_u8: jnp.ndarray, crop_to: int, *,
+                            random_crop: bool,
+                            rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """On-device: uint8 staged batch -> float [0,1] crop. Jit-safe (static
+    output shape; random offsets via dynamic_slice).
+
+    Mirrors RandomCrop/CenterCrop(256) + ToTensor (train.py:222-245).
+    ImageNet normalization is applied later per the swin/loss flags
+    (train/step.py), matching the reference's flag plumbing.
+    """
+    b, h, w, c = batch_u8.shape
+    x = batch_u8.astype(jnp.float32) / 255.0
+    if crop_to > h or crop_to > w:
+        raise ValueError(f"crop {crop_to} larger than staged size {h}x{w}")
+    if crop_to == h and crop_to == w:
+        return x
+    if random_crop:
+        if rng is None:
+            raise ValueError("random_crop requires rng")
+        ry, rx = jax.random.split(rng)
+        oy = jax.random.randint(ry, (b,), 0, h - crop_to + 1)
+        ox = jax.random.randint(rx, (b,), 0, w - crop_to + 1)
+    else:
+        oy = jnp.full((b,), (h - crop_to) // 2)
+        ox = jnp.full((b,), (w - crop_to) // 2)
+
+    def crop_one(img, y0, x0):
+        return jax.lax.dynamic_slice(img, (y0, x0, 0), (crop_to, crop_to, c))
+
+    return jax.vmap(crop_one)(x, oy, ox)
+
+
+def repeat_style_to_batch(style_one: jnp.ndarray, batch_size: int) -> jnp.ndarray:
+    """One style image -> repeated to the content batch size
+    (reference: train.py:411-416)."""
+    if style_one.ndim == 3:
+        style_one = style_one[None]
+    return jnp.tile(style_one[:1], (batch_size, 1, 1, 1))
+
+
+def make_train_iterators(cfg: DataConfig) -> Tuple[PrefetchLoader, PrefetchLoader]:
+    """(content_loader, style_loader) over COCO/WikiArt directories."""
+    content = ImageFolderDataset(cfg.content_dir, cfg.resize_to, recursive=False)
+    style = ImageFolderDataset(cfg.style_dir, cfg.resize_to, recursive=True)
+    if len(content) == 0:
+        raise FileNotFoundError(f"no images under {cfg.content_dir}")
+    if len(style) == 0:
+        raise FileNotFoundError(f"no images under {cfg.style_dir}")
+    c_loader = PrefetchLoader(content, cfg.batch_size_content,
+                              num_workers=cfg.num_workers, seed=cfg.seed)
+    s_loader = PrefetchLoader(style, cfg.batch_size_style,
+                              num_workers=max(1, cfg.num_workers // 2),
+                              seed=cfg.seed + 1)
+    return c_loader, s_loader

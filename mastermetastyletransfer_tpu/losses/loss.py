@@ -31,17 +31,23 @@ from mastermetastyletransfer_tpu.losses.vgg import vgg19_features_apply
 from mastermetastyletransfer_tpu.ops.norm import instance_norm
 
 
-def _dist(x, squared: bool):
-    return jnp.mean(jnp.square(x)) if squared else jnp.mean(jnp.abs(x))
+def _dist(x, squared: bool, per_example: bool = False):
+    """Mean |x| or mean x^2; with per_example, reduce all but the leading
+    (batch) axis, returning (B,)."""
+    v = jnp.square(x) if squared else jnp.abs(x)
+    if per_example:
+        return jnp.mean(v.reshape(v.shape[0], -1), axis=1)
+    return jnp.mean(v)
 
 
 def content_loss(feats_content: List[jnp.ndarray], feats_output: List[jnp.ndarray],
-                 distance: str = "euclidian") -> jnp.ndarray:
+                 distance: str = "euclidian",
+                 per_example: bool = False) -> jnp.ndarray:
     """Sum over layers of mean |IN(Fc) - IN(Fo)| (reference: codes/loss.py:284-287)."""
     sq = distance == "euclidian_squared"
     total = 0.0
     for fc, fo in zip(feats_content, feats_output):
-        total = total + _dist(instance_norm(fc) - instance_norm(fo), sq)
+        total = total + _dist(instance_norm(fc) - instance_norm(fo), sq, per_example)
     return total
 
 
@@ -62,7 +68,8 @@ def _spatial_mean_std(f: jnp.ndarray):
 
 
 def style_loss(feats_style: List[jnp.ndarray], feats_output: List[jnp.ndarray],
-               distance: str = "euclidian") -> jnp.ndarray:
+               distance: str = "euclidian",
+               per_example: bool = False) -> jnp.ndarray:
     """Sum over layers of mean|mu_s - mu_o| + mean|sigma_s - sigma_o|
     (reference: codes/loss.py:310-313)."""
     sq = distance == "euclidian_squared"
@@ -70,7 +77,7 @@ def style_loss(feats_style: List[jnp.ndarray], feats_output: List[jnp.ndarray],
     for fs, fo in zip(feats_style, feats_output):
         ms, ss = _spatial_mean_std(fs)
         mo, so = _spatial_mean_std(fo)
-        total = total + _dist(ms - mo, sq) + _dist(ss - so, sq)
+        total = total + _dist(ms - mo, sq, per_example) + _dist(ss - so, sq, per_example)
     return total
 
 
@@ -92,24 +99,28 @@ def _scaled_self_cosine_tril(f: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
 
 
 def similarity_loss(feats_a: List[jnp.ndarray], feats_b: List[jnp.ndarray],
-                    distance: str = "euclidian") -> jnp.ndarray:
+                    distance: str = "euclidian",
+                    per_example: bool = False) -> jnp.ndarray:
     """Similarity loss over relu3_1 + relu4_1 (layers 1 and 2 of the 4-slice
     list; reference: codes/loss.py:332-334)."""
     sq = distance == "euclidian_squared"
     total = 0.0
     for i in (1, 2):
         total = total + _dist(
-            _scaled_self_cosine_tril(feats_a[i]) - _scaled_self_cosine_tril(feats_b[i]), sq)
+            _scaled_self_cosine_tril(feats_a[i]) - _scaled_self_cosine_tril(feats_b[i]),
+            sq, per_example)
     return total
 
 
 def perceptual_loss(vgg_params: dict, content: jnp.ndarray, style: jnp.ndarray,
                     output: jnp.ndarray, cfg: LossConfig, *,
                     lambda_value: Optional[float] = None,
-                    compute_similarity: bool = False) -> dict:
+                    compute_similarity: bool = False,
+                    per_example: bool = False) -> dict:
     """Full loss on NHWC image triplets. Returns a dict with total/content/
     style (and similarity when requested), mirroring custom_loss.forward
-    (reference: codes/loss.py:176-262)."""
+    (reference: codes/loss.py:176-262). With per_example, each entry is (B,)
+    instead of a scalar (used by the eval grid sweep)."""
     if lambda_value is None or cfg.replicate_lambda_override_bug:
         lambda_value = cfg.default_lambda_value
 
@@ -117,8 +128,8 @@ def perceptual_loss(vgg_params: dict, content: jnp.ndarray, style: jnp.ndarray,
     fs = vgg19_features_apply(vgg_params, style)
     fo = vgg19_features_apply(vgg_params, output)
 
-    c_loss = content_loss(fc, fo, cfg.distance_content)
-    s_loss = style_loss(fs, fo, cfg.distance_style)
+    c_loss = content_loss(fc, fo, cfg.distance_content, per_example)
+    s_loss = style_loss(fs, fo, cfg.distance_style, per_example)
     out = {
         "content": c_loss,
         "style": s_loss,
@@ -126,9 +137,9 @@ def perceptual_loss(vgg_params: dict, content: jnp.ndarray, style: jnp.ndarray,
     }
     if compute_similarity:
         if cfg.replicate_similarity_bug:
-            out["similarity"] = similarity_loss(fc, fc, cfg.distance_style)
+            out["similarity"] = similarity_loss(fc, fc, cfg.distance_style, per_example)
         else:
-            out["similarity"] = similarity_loss(fc, fo, cfg.distance_style)
+            out["similarity"] = similarity_loss(fc, fo, cfg.distance_style, per_example)
     return out
 
 

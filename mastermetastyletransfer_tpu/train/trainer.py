@@ -1,0 +1,272 @@
+"""Training driver CLI: plain, meta (Reptile), and fast-adaptation modes.
+
+Covers the driver surface of the reference's train.py:567-811 and
+train_only_inner_loop.py:619-879 — argparse flags -> config -> data loaders ->
+jitted step loop -> metrics logging -> checkpoints + stylized-image dumps.
+
+Run:
+    python -m mastermetastyletransfer_tpu.train.trainer --mode plain \
+        --content_dir ... --style_dir ... --max_iterations 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import (
+    DataConfig, ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
+)
+from mastermetastyletransfer_tpu.data import (
+    device_preprocess_batch, make_train_iterators, repeat_style_to_batch,
+)
+from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+from mastermetastyletransfer_tpu.models import init_master_model
+from mastermetastyletransfer_tpu.models.master import master_apply
+from mastermetastyletransfer_tpu.parallel import make_mesh, replicate, shard_batch
+from mastermetastyletransfer_tpu.train.state import create_train_state, make_optimizer
+from mastermetastyletransfer_tpu.train.step import (
+    make_meta_train_step, make_train_step,
+)
+from mastermetastyletransfer_tpu.utils import checkpoint as ckpt_lib
+
+
+def load_vgg_params(path: Optional[str]):
+    """VGG19 loss weights: .npz export, torchvision .pt state dict, or random
+    init (shape-correct; only useful for smoke runs)."""
+    key = jax.random.PRNGKey(1)
+    template = init_vgg19_features(key)
+    if path is None:
+        return template
+    if path.endswith(".npz"):
+        return ckpt_lib.load_params_npz(path, template)
+    from mastermetastyletransfer_tpu.utils.convert import (
+        convert_vgg19, load_torch_state_dict,
+    )
+    return convert_vgg19(load_torch_state_dict(path))
+
+
+class MetricsLogger:
+    """JSONL metrics log + stdout (replaces the reference's wandb/prints;
+    wandb stays optional via --use_wandb)."""
+
+    def __init__(self, exp_dir: str, use_wandb: bool = False, config: dict = None):
+        os.makedirs(exp_dir, exist_ok=True)
+        self.f = open(os.path.join(exp_dir, "metrics.jsonl"), "a")
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                wandb.init(project="mastermetastyletransfer_tpu", config=config)
+                self.wandb = wandb
+            except Exception as e:  # wandb not installed / offline
+                print(f"wandb unavailable ({e}); logging to JSONL only")
+
+    def log(self, step: int, metrics: dict):
+        rec = {"step": step, **{k: float(v) for k, v in metrics.items()}}
+        self.f.write(json.dumps(rec) + "\n")
+        self.f.flush()
+        if self.wandb:
+            self.wandb.log(rec, step=step)
+
+    def close(self):
+        self.f.close()
+        if self.wandb:
+            self.wandb.finish()
+
+
+def _dump_image(path: str, img01: np.ndarray):
+    from PIL import Image
+
+    Image.fromarray(np.clip(img01 * 255, 0, 255).astype(np.uint8)).save(path)
+
+
+def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
+          vgg_path: Optional[str] = None, resume: bool = False,
+          use_wandb: bool = False, log_every: int = 10,
+          dump_images: bool = True) -> dict:
+    """Run the configured training loop; returns final metrics."""
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    tcfg, dcfg = cfg.train, cfg.data
+    rng = jax.random.PRNGKey(tcfg.seed)
+    rng, init_key = jax.random.split(rng)
+
+    params = init_master_model(init_key, cfg.model)
+    vgg = load_vgg_params(vgg_path)
+    tx = make_optimizer(params, tcfg)
+    state, tx = create_train_state(params, tcfg, tx)
+
+    mesh = None
+    if tcfg.num_devices > 1:
+        mesh = make_mesh(tcfg.num_devices)
+        state = replicate(state, mesh)
+        vgg = replicate(vgg, mesh)
+
+    start_step = 0
+    ckpt_dir = os.path.join(exp_dir, "checkpoints")
+    if resume and ckpt_lib.latest_step(ckpt_dir) is not None:
+        state = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        start_step = int(state.step)
+        print(f"resumed from step {start_step}")
+
+    if tcfg.mode == "meta":
+        step_fn = make_meta_train_step(cfg, vgg, tx, mesh=mesh)
+    else:
+        step_fn = make_train_step(cfg, vgg, tx, mesh=mesh)
+
+    content_loader, style_loader = make_train_iterators(dcfg)
+
+    @jax.jit
+    def preprocess(content_u8, style_u8, r):
+        rc, rs = jax.random.split(r)
+        content = device_preprocess_batch(
+            content_u8, dcfg.crop_to, random_crop=dcfg.use_random_crop, rng=rc)
+        # fast-adaptation uses center-crop styles
+        # (reference: train_only_inner_loop.py:280-286)
+        style_random = dcfg.use_random_crop and tcfg.mode != "fast_adaptation"
+        style = device_preprocess_batch(
+            style_u8, dcfg.crop_to, random_crop=style_random, rng=rs)
+        # style repeated to the *per-step* content batch size
+        # (reference: train.py:411-416)
+        return content, repeat_style_to_batch(style, dcfg.batch_size_content)
+
+    logger = MetricsLogger(exp_dir, use_wandb, cfg.to_dict())
+    last_metrics = {}
+    t_start = time.time()
+    try:
+        for it in range(start_step, tcfg.max_iterations):
+            rng, r_pre, r_step = jax.random.split(rng, 3)
+            style_u8 = jnp.asarray(next(style_loader))
+            if tcfg.mode == "meta":
+                batches = [next(content_loader)
+                           for _ in range(tcfg.num_inner_updates)]
+                content_u8 = jnp.asarray(np.stack(batches))
+                cflat, style = preprocess(
+                    content_u8.reshape((-1,) + content_u8.shape[2:]),
+                    style_u8, r_pre)
+                content = cflat.reshape(
+                    (tcfg.num_inner_updates, -1) + cflat.shape[1:])
+            else:
+                content_u8 = jnp.asarray(next(content_loader))
+                content, style = preprocess(content_u8, style_u8, r_pre)
+
+            if mesh is not None:
+                content, style = shard_batch((content, style), mesh)
+            state, metrics = step_fn(state, content, style, r_step)
+
+            if (it + 1) % log_every == 0 or it == start_step:
+                m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                m["imgs_per_sec"] = (
+                    dcfg.batch_size_content * (it + 1 - start_step)
+                    * (tcfg.num_inner_updates if tcfg.mode == "meta" else 1)
+                    / max(time.time() - t_start, 1e-9))
+                logger.log(it + 1, m)
+                print(f"[{it + 1}/{tcfg.max_iterations}] " +
+                      " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+                last_metrics = m
+
+            if (it + 1) % tcfg.save_every_for_model == 0:
+                ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state), it + 1,
+                                         config_json=cfg.to_json())
+            if dump_images and (it + 1) % tcfg.save_every == 0:
+                c1 = content[0] if tcfg.mode != "meta" else content[0, 0]
+                out = master_apply(jax.device_get(state).params
+                                   if mesh else state.params,
+                                   c1[None], style[:1], cfg.model, k=1)
+                _dump_image(os.path.join(exp_dir, f"stylized_{it + 1}.png"),
+                            np.asarray(jax.device_get(out))[0])
+    finally:
+        content_loader.close()
+        style_loader.close()
+        logger.close()
+
+    ckpt_lib.save_checkpoint(ckpt_dir, jax.device_get(state),
+                             int(jax.device_get(state.step)),
+                             config_json=cfg.to_json())
+    return last_metrics
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--mode", choices=["plain", "meta", "fast_adaptation"],
+                   default="plain")
+    p.add_argument("--content_dir", default="datasets/coco_train_dataset/train2017")
+    p.add_argument("--style_dir", default="datasets/wikiart")
+    p.add_argument("--exp_dir", default="experiments/run")
+    p.add_argument("--vgg_weights", default=None,
+                   help=".npz export or torchvision VGG19 .pt state dict")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--crop_to", type=int, default=256)
+    p.add_argument("--resize_to", type=int, default=512)
+    p.add_argument("--inner_lr", type=float, default=1e-4)
+    p.add_argument("--outer_lr", type=float, default=1e-4)
+    p.add_argument("--num_inner_updates", type=int, default=1)
+    p.add_argument("--max_layers", type=int, default=4)
+    p.add_argument("--lambda_style", type=float, default=10.0)
+    p.add_argument("--max_iterations", type=int, default=15000)
+    p.add_argument("--warmup_iterations", type=int, default=0)
+    p.add_argument("--lr_decay_rate", type=float, default=0.02)
+    p.add_argument("--lr_decay_every", type=int, default=3000)
+    p.add_argument("--save_every", type=int, default=100)
+    p.add_argument("--save_every_for_model", type=int, default=1000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_devices", type=int, default=1)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--swin_variant", default="swin_B",
+                   choices=["swin_T", "swin_S", "swin_B"])
+    p.add_argument("--unfreeze_swin", action="store_true")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log_every", type=int, default=10)
+    return p
+
+
+def config_from_args(args) -> ExperimentConfig:
+    from mastermetastyletransfer_tpu.config import SwinConfig
+
+    return ExperimentConfig(
+        model=ModelConfig(swin=SwinConfig.for_variant(args.swin_variant),
+                          compute_dtype=args.compute_dtype),
+        loss=LossConfig(default_lambda_value=args.lambda_style),
+        data=DataConfig(content_dir=args.content_dir, style_dir=args.style_dir,
+                        batch_size_content=args.batch_size,
+                        crop_to=args.crop_to, resize_to=args.resize_to,
+                        seed=args.seed),
+        train=TrainConfig(mode=args.mode, inner_lr=args.inner_lr,
+                          outer_lr=args.outer_lr,
+                          num_inner_updates=args.num_inner_updates,
+                          max_layers=args.max_layers,
+                          lambda_style=args.lambda_style,
+                          max_iterations=args.max_iterations,
+                          freeze_encoder=not args.unfreeze_swin,
+                          save_every=args.save_every,
+                          save_every_for_model=args.save_every_for_model,
+                          warmup_iterations=args.warmup_iterations,
+                          lr_decay_rate=args.lr_decay_rate,
+                          lr_decay_every=args.lr_decay_every,
+                          seed=args.seed, num_devices=args.num_devices),
+        exp_name=os.path.basename(args.exp_dir),
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = config_from_args(args)
+    train(cfg, exp_dir=args.exp_dir, vgg_path=args.vgg_weights,
+          resume=args.resume, use_wandb=args.use_wandb,
+          log_every=args.log_every)
+
+
+if __name__ == "__main__":
+    main()

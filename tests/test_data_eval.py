@@ -1,0 +1,129 @@
+"""Data pipeline, checkpointing, and eval-harness tests (synthetic images)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mastermetastyletransfer_tpu.config import (
+    DataConfig, ExperimentConfig, ModelConfig, TrainConfig,
+)
+from mastermetastyletransfer_tpu.data import (
+    ImageFolderDataset, InfiniteIndexSampler, PrefetchLoader,
+    device_preprocess_batch, list_images, repeat_style_to_batch,
+)
+from mastermetastyletransfer_tpu.eval import evaluate_grid, load_eval_images
+from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+from mastermetastyletransfer_tpu.models import init_master_model
+from mastermetastyletransfer_tpu.train import create_train_state
+from mastermetastyletransfer_tpu.train.state import make_optimizer
+from mastermetastyletransfer_tpu.utils import checkpoint as ckpt_lib
+
+
+def _write_images(dirpath, n, size=(80, 100), seed=0):
+    from PIL import Image
+
+    os.makedirs(dirpath, exist_ok=True)
+    r = np.random.default_rng(seed)
+    for i in range(n):
+        arr = r.integers(0, 255, size=(size[0], size[1], 3), dtype=np.uint8)
+        Image.fromarray(arr).save(os.path.join(dirpath, f"img_{i}.jpg"))
+
+
+def test_infinite_sampler_reshuffles_and_never_ends():
+    s = iter(InfiniteIndexSampler(5, seed=0))
+    first = [next(s) for _ in range(5)]
+    second = [next(s) for _ in range(5)]
+    assert sorted(first) == [0, 1, 2, 3, 4]
+    assert sorted(second) == [0, 1, 2, 3, 4]
+
+
+def test_image_folder_and_prefetch(tmp_path):
+    d = tmp_path / "imgs"
+    _write_images(str(d), 6)
+    ds = ImageFolderDataset(str(d), resize_to=64)
+    assert len(ds) == 6
+    assert ds[0].shape == (64, 64, 3) and ds[0].dtype == np.uint8
+    loader = PrefetchLoader(ds, batch_size=4, num_workers=2, seed=0)
+    try:
+        for _ in range(3):
+            b = next(loader)
+            assert b.shape == (4, 64, 64, 3)
+    finally:
+        loader.close()
+
+
+def test_device_preprocess_crops():
+    u8 = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=(2, 96, 96, 3), dtype=np.uint8))
+    center = device_preprocess_batch(u8, 64, random_crop=False)
+    assert center.shape == (2, 64, 64, 3)
+    np.testing.assert_allclose(
+        np.asarray(center[0]), np.asarray(u8[0, 16:80, 16:80]) / 255.0, atol=1e-6)
+    r1 = device_preprocess_batch(u8, 64, random_crop=True,
+                                 rng=jax.random.PRNGKey(0))
+    r2 = device_preprocess_batch(u8, 64, random_crop=True,
+                                 rng=jax.random.PRNGKey(1))
+    assert r1.shape == (2, 64, 64, 3)
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+    # values in [0,1]
+    assert float(r1.max()) <= 1.0 and float(r1.min()) >= 0.0
+
+
+def test_repeat_style_to_batch():
+    s = jnp.arange(2 * 4 * 4 * 3, dtype=jnp.float32).reshape(2, 4, 4, 3)
+    r = repeat_style_to_batch(s, 5)
+    assert r.shape == (5, 4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(r[3]), np.asarray(s[0]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = TrainConfig(max_layers=2)
+    params = init_master_model(jax.random.PRNGKey(0), ModelConfig())
+    tx = make_optimizer(params, cfg)
+    state, tx = create_train_state(params, cfg, tx)
+    d = str(tmp_path / "ckpts")
+    ckpt_lib.save_checkpoint(d, state, 7, config_json="{}")
+    assert ckpt_lib.latest_step(d) == 7
+    # restore into a differently-initialized state
+    params2 = init_master_model(jax.random.PRNGKey(9), ModelConfig())
+    state2, _ = create_train_state(params2, cfg, tx)
+    restored = ckpt_lib.restore_checkpoint(d, state2)
+    for a, b in zip(jax.tree_util.tree_leaves(restored.params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_params_npz_roundtrip(tmp_path):
+    params = init_master_model(jax.random.PRNGKey(0), ModelConfig())
+    p = str(tmp_path / "params.npz")
+    ckpt_lib.save_params_npz(p, params)
+    loaded = ckpt_lib.load_params_npz(p, params)
+    for a, b in zip(jax.tree_util.tree_leaves(loaded),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_evaluate_grid(tmp_path):
+    cdir, sdir = str(tmp_path / "content"), str(tmp_path / "style")
+    _write_images(cdir, 2, seed=1)
+    _write_images(sdir, 3, seed=2)
+    content, cnames = load_eval_images(cdir, 64)
+    styles, snames = load_eval_images(sdir, 64)
+    assert content.shape == (2, 64, 64, 3)
+
+    cfg = ExperimentConfig(data=DataConfig(crop_to=64),
+                           train=TrainConfig(max_layers=2))
+    params = init_master_model(jax.random.PRNGKey(0), cfg.model)
+    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    out_dir = str(tmp_path / "dumps")
+    report = evaluate_grid(params, vgg, cfg, content_images=content,
+                           style_images=styles, content_names=cnames,
+                           style_names=snames, k=1, style_batch=2,
+                           save_images_to=out_dir)
+    assert len(report.pairs) == 6
+    s = report.summary()
+    assert np.isfinite(s["total_mean"]) and np.isfinite(s["style_mean"])
+    assert len(os.listdir(out_dir)) == 6
