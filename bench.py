@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the fused Pallas window-attention kernel")
     args = ap.parse_args()
 
     from mastermetastyletransfer_tpu.config import ModelConfig
@@ -33,6 +35,9 @@ def main():
     from mastermetastyletransfer_tpu.models.master import master_apply
 
     cfg = ModelConfig(compute_dtype=args.dtype)
+    if args.pallas:
+        cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
+                          transformer=cfg.transformer.replace(use_pallas=True))
     params = init_master_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

@@ -59,6 +59,9 @@ class AttentionConfig(_ConfigBase):
     proj_bias: bool = True
     dropout: float = 0.0
     attention_dropout: float = 0.0
+    # Use the fused Pallas TPU kernel (ops/pallas_attention.py) instead of the
+    # XLA op chain. Falls back to XLA automatically when dropout is active.
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)
@@ -100,20 +103,23 @@ class StyleTransformerConfig(_ConfigBase):
     decoder_use_regular_MHA_instead_of_Swin_at_the_end: bool = False
     decoder_use_Key_instance_norm_after_linear_transformation: bool = True
     decoder_exclude_MLP_after_Fcs_self_MHA: bool = False
+    use_pallas: bool = False
 
     def encoder_attn(self) -> AttentionConfig:
         return AttentionConfig(
             dim=self.encoder_dim, num_heads=self.encoder_num_heads,
             window_size=self.encoder_window_size, shift_size=self.encoder_shift_size,
             qkv_bias=self.encoder_qkv_bias, proj_bias=self.encoder_proj_bias,
-            dropout=self.encoder_dropout, attention_dropout=self.encoder_attention_dropout)
+            dropout=self.encoder_dropout, attention_dropout=self.encoder_attention_dropout,
+            use_pallas=self.use_pallas)
 
     def decoder_attn(self) -> AttentionConfig:
         return AttentionConfig(
             dim=self.decoder_dim, num_heads=self.decoder_num_heads,
             window_size=self.decoder_window_size, shift_size=self.decoder_shift_size,
             qkv_bias=self.decoder_qkv_bias, proj_bias=self.decoder_proj_bias,
-            dropout=self.decoder_dropout, attention_dropout=self.decoder_attention_dropout)
+            dropout=self.decoder_dropout, attention_dropout=self.decoder_attention_dropout,
+            use_pallas=self.use_pallas)
 
 
 @dataclass(frozen=True)
@@ -134,6 +140,7 @@ class SwinConfig(_ConfigBase):
     # full model; for the first 4 blocks of swin_b (total 24, p_max=0.5):
     # p_i = p_max * i / (24 - 1).
     stochastic_depth_probs: Tuple[float, ...] = (0.0, 0.5 / 23, 1.0 / 23, 1.5 / 23)
+    use_pallas: bool = False
 
     @staticmethod
     def for_variant(variant: str) -> "SwinConfig":

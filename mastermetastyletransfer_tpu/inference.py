@@ -1,0 +1,100 @@
+"""High-level inference API: zero-shot stylization, batched sweeps, and the
+style-lambda control sweep.
+
+BASELINE.json config #2 ("batched zero-shot inference with style-lambda
+control sweep (lambda=2,4) at 512x512"): in the reference, lambda selects a
+*checkpoint* (test/pretrained_weights/pretrained_model_lambda_is_{2,4}.pt) —
+the sweep is the same architecture under multiple parameter sets. TPU-native,
+that is one vmap over a stacked param pytree: XLA batches every matmul across
+the lambda axis, so an N-lambda sweep costs far less than N serial runs.
+
+Dynamic input sizes are handled with compile-size buckets (the reference pads
+arbitrary H,W at runtime, codes/style_transformer.py:77-87; jit wants static
+shapes, so we pad to the nearest bucket and crop the output back).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import ModelConfig
+from mastermetastyletransfer_tpu.models.master import master_apply
+
+DEFAULT_BUCKETS = (256, 512, 1024)
+
+
+def pick_bucket(h: int, w: int, buckets: Sequence[int] = DEFAULT_BUCKETS) -> int:
+    """Smallest bucket covering max(h, w) (largest bucket if none covers)."""
+    m = max(h, w)
+    for b in sorted(buckets):
+        if m <= b:
+            return b
+    return max(buckets)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "k", "out_h", "out_w"))
+def _stylize_jit(params, content, style, cfg: ModelConfig, k: int,
+                 out_h: int, out_w: int):
+    out = master_apply(params, content, style, cfg, k=k, deterministic=True)
+    return out[:, :out_h, :out_w, :]
+
+
+def stylize(params, content: jnp.ndarray, style: jnp.ndarray,
+            cfg: ModelConfig, *, k: int = 1,
+            buckets: Sequence[int] = DEFAULT_BUCKETS) -> jnp.ndarray:
+    """Stylize NHWC [0,1]-or-normalized batches of any size via size buckets.
+
+    content/style: (B, H, W, 3). Returns (B, H, W, 3) at the content size.
+    One compile per (bucket, k) — repeat sizes hit the jit cache.
+    """
+    b, h, w, _ = content.shape
+    size = pick_bucket(h, w, buckets)
+
+    def pad_to(x, s):
+        _, xh, xw, _ = x.shape
+        if xh == s and xw == s:
+            return x
+        # reflect-pad (edge content beats zeros for style statistics)
+        return jnp.pad(x, ((0, 0), (0, s - xh), (0, s - xw), (0, 0)),
+                       mode="reflect")
+
+    content_p = pad_to(content, size)
+    style_p = pad_to(style, size)
+    return _stylize_jit(params, content_p, style_p, cfg, k, h, w)
+
+
+def make_lambda_sweep_fn(cfg: ModelConfig, k: int = 1):
+    """Jitted sweep over stacked parameter sets (the lambda axis).
+
+    Returns fn(stacked_params, content, style) -> (L, B, H, W, 3) where
+    stacked_params has an extra leading axis L on every leaf (use
+    `stack_params`).
+    """
+    def sweep(stacked_params, content, style):
+        return jax.vmap(
+            lambda p: master_apply(p, content, style, cfg, k=k,
+                                   deterministic=True)
+        )(stacked_params)
+    return jax.jit(sweep)
+
+
+def stack_params(param_sets: List[dict]) -> dict:
+    """Stack N compatible param pytrees along a new leading axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *param_sets)
+
+
+def lambda_sweep(param_sets: Dict[float, dict], content: jnp.ndarray,
+                 style: jnp.ndarray, cfg: ModelConfig, *,
+                 k: int = 1) -> Dict[float, np.ndarray]:
+    """Run the lambda control sweep: {lambda: params} -> {lambda: stylized}."""
+    lams = sorted(param_sets)
+    stacked = stack_params([param_sets[l] for l in lams])
+    fn = make_lambda_sweep_fn(cfg, k)
+    outs = jax.device_get(fn(stacked, content, style))
+    return {l: outs[i] for i, l in enumerate(lams)}

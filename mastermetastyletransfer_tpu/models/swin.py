@@ -35,7 +35,8 @@ def _block_cfg(cfg: SwinConfig, stage: int, block_idx: int) -> AttentionConfig:
     shifted = block_idx % 2 == 1
     return AttentionConfig(
         dim=dim, num_heads=cfg.num_heads[stage], window_size=(wh, ww),
-        shift_size=((wh // 2, ww // 2) if shifted else (0, 0)))
+        shift_size=((wh // 2, ww // 2) if shifted else (0, 0)),
+        use_pallas=cfg.use_pallas)
 
 
 def init_swin_backbone(key, cfg: SwinConfig) -> dict:

@@ -149,6 +149,23 @@ def _apply_values(attn, v_win, proj_params, cfg: AttentionConfig):
     return linear(proj_params, x)
 
 
+def _pallas_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
+    """Kernel covers the dropout-free path (dropout is a no-op at eval and 0.0
+    by default in every reference config)."""
+    return cfg.use_pallas and (
+        deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0))
+
+
+def _pallas_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _win4(x_win: jnp.ndarray, b: int) -> jnp.ndarray:
+    """(B*nW, N, C) window layout -> (B, nW, N, C) kernel layout."""
+    bn, n, c = x_win.shape
+    return x_win.reshape(b, bn // b, n, c)
+
+
 def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
                              v_in: jnp.ndarray, cfg: AttentionConfig, *,
                              deterministic: bool = True,
@@ -159,8 +176,30 @@ def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
     reference codes/style_transformer.py:37-169: pad -> roll -> partition ->
     per-head scaled dot-product with relative-position bias (+ shift mask) ->
     value matmul -> output projection -> merge -> un-roll -> un-pad.
+
+    With cfg.use_pallas the projection+attention+projection pipeline runs in
+    the fused Pallas kernel (ops/pallas_attention.py); geometry (pad/roll/
+    partition) stays in XLA where it folds into neighboring ops.
     """
     (qw, kw, vw), geom = _prepare([q_in, k_in, v_in], cfg.window_size, cfg.shift_size)
+
+    if _pallas_ok(cfg, deterministic):
+        from mastermetastyletransfer_tpu.ops.pallas_attention import (
+            fused_window_attention,
+        )
+        wh, ww = cfg.window_size
+        bias = relative_position_bias(params["rel_bias_table"], wh, ww)
+        mask = None
+        if geom["sh"] or geom["sw"]:
+            # keep as numpy: the kernel folds it into a static constant
+            mask = shift_attention_mask(
+                geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+        b = geom["b"]
+        out4 = fused_window_attention(
+            params, _win4(qw, b), _win4(kw, b), _win4(vw, b),
+            bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+        x = out4.reshape(-1, out4.shape[2], out4.shape[3])
+        return _finalize(x, geom, cfg.window_size)
     r1 = r2 = None
     if rng is not None:
         r1, r2 = jax.random.split(rng)
@@ -215,8 +254,6 @@ def shifted_window_attention_dual_value(
 
     q = linear(params["wq"], qw) if use_q_proj else qw
     k = linear(params["wk"], kw)
-    v_scale = linear(params["wv_scale"], vsw)
-    v_shift = linear(params["wv_shift"], vshw)
 
     if key_instance_norm_after_linear:
         # IN statistics over the full padded grid: reshape windows back to
@@ -224,6 +261,30 @@ def shifted_window_attention_dual_value(
         # permutation invariant (reference: codes/style_transformer.py:520-530).
         bn, n, c = k.shape
         k = _in(k.reshape(geom["b"], (bn // geom["b"]) * n, c), "k").reshape(bn, n, c)
+
+    if _pallas_ok(cfg, deterministic):
+        from mastermetastyletransfer_tpu.ops.pallas_attention import (
+            fused_window_attention_dual,
+        )
+        wh, ww = cfg.window_size
+        bias = relative_position_bias(params["rel_bias_table"], wh, ww)
+        mask = None
+        if geom["sh"] or geom["sw"]:
+            # keep as numpy: the kernel folds it into a static constant
+            mask = shift_attention_mask(
+                geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+        b = geom["b"]
+        s4, m4 = fused_window_attention_dual(
+            params, _win4(q, b), _win4(k, b), _win4(vsw, b), _win4(vshw, b),
+            bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+        sigma = _finalize(s4.reshape(-1, s4.shape[2], s4.shape[3]),
+                          geom, cfg.window_size)
+        mu = _finalize(m4.reshape(-1, m4.shape[2], m4.shape[3]),
+                       geom, cfg.window_size)
+        return sigma, mu
+
+    v_scale = linear(params["wv_scale"], vsw)
+    v_shift = linear(params["wv_shift"], vshw)
 
     attn = _attention_weights(q, k, params, cfg, geom, deterministic, r1)
 

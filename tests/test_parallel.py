@@ -1,0 +1,75 @@
+"""Mesh / sharding tests on the 8-virtual-device CPU mesh: spatial sharding
+parity, hybrid mesh, lambda sweep, bucketed inference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import ModelConfig
+from mastermetastyletransfer_tpu.inference import (
+    lambda_sweep, pick_bucket, stylize,
+)
+from mastermetastyletransfer_tpu.models import init_master_model, master_apply
+from mastermetastyletransfer_tpu.parallel import make_mesh
+from mastermetastyletransfer_tpu.parallel.spatial import (
+    make_hybrid_mesh, make_spatial_stylize, shard_images_spatial,
+)
+
+
+def _setup(hw=64, batch=2):
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c = jax.random.uniform(jax.random.PRNGKey(1), (batch, hw, hw, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(2), (batch, hw, hw, 3))
+    return cfg, params, c, s
+
+
+def test_spatial_sharding_matches_single_device():
+    cfg, params, c, s = _setup(hw=64, batch=1)
+    ref = master_apply(params, c, s, cfg, k=1)
+
+    mesh = make_mesh(4, axis_names=("space",))
+    fn = make_spatial_stylize(cfg, mesh, k=1)
+    c_sh, s_sh = shard_images_spatial((c, s), mesh)
+    out = fn(params, c_sh, s_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_mesh_data_x_space():
+    cfg, params, c, s = _setup(hw=64, batch=2)
+    ref = master_apply(params, c, s, cfg, k=1)
+    mesh = make_hybrid_mesh(2, 4)
+    fn = make_spatial_stylize(cfg, mesh, k=1, data_axis="data")
+    c_sh, s_sh = shard_images_spatial((c, s), mesh, data_axis="data")
+    out = fn(params, c_sh, s_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_pick_bucket():
+    assert pick_bucket(200, 256) == 256
+    assert pick_bucket(300, 256) == 512
+    assert pick_bucket(2000, 100) == 1024
+
+
+def test_stylize_bucketed_arbitrary_size():
+    cfg, params, _, _ = _setup()
+    c = jax.random.uniform(jax.random.PRNGKey(1), (1, 200, 180, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(2), (1, 200, 180, 3))
+    out = stylize(params, c, s, cfg, k=1, buckets=(256,))
+    assert out.shape == (1, 200, 180, 3)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_lambda_sweep_matches_individual_runs():
+    cfg = ModelConfig()
+    p2 = init_master_model(jax.random.PRNGKey(2), cfg)
+    p4 = init_master_model(jax.random.PRNGKey(4), cfg)
+    c = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(3), (1, 64, 64, 3))
+    sweep = lambda_sweep({2.0: p2, 4.0: p4}, c, s, cfg, k=1)
+    for lam, params in [(2.0, p2), (4.0, p4)]:
+        ref = master_apply(params, c, s, cfg, k=1)
+        np.testing.assert_allclose(sweep[lam], np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
