@@ -17,6 +17,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

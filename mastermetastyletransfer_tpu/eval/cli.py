@@ -1,0 +1,99 @@
+"""Evaluation CLI: the test_model.py-equivalent grid sweep.
+
+    python -m mastermetastyletransfer_tpu.eval.cli \
+        --content_dir test/content_input --style_dir test/style_input \
+        --checkpoint experiments/run/checkpoints --k 1 --lambda_style 4 \
+        --save_images_to outputs/
+
+Loads a checkpoint (orbax dir or .npz params export), sweeps the full
+content x style grid at the given transformer layer count, prints loss
+statistics (mean +- std of total/content/style[/similarity], the numbers
+goals.txt compares against the paper), and optionally dumps stylized JPEGs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--content_dir", required=True)
+    ap.add_argument("--style_dir", required=True)
+    ap.add_argument("--checkpoint", default=None,
+                    help="orbax checkpoint dir or .npz params export; "
+                         "random init if omitted (smoke only)")
+    ap.add_argument("--vgg_weights", default=None)
+    ap.add_argument("--image_size", type=int, default=256)
+    ap.add_argument("--k", type=int, default=1,
+                    help="transformer layer count (ZS-L1 vs ZS-L3)")
+    ap.add_argument("--lambda_style", type=float, default=10.0)
+    ap.add_argument("--style_batch", type=int, default=8)
+    ap.add_argument("--compute_similarity", action="store_true")
+    ap.add_argument("--save_images_to", default=None)
+    ap.add_argument("--swin_variant", default="swin_B")
+    ap.add_argument("--compute_dtype", default="float32")
+    ap.add_argument("--use_pallas", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from mastermetastyletransfer_tpu.config import (
+        DataConfig, ExperimentConfig, LossConfig, ModelConfig, SwinConfig,
+        TrainConfig,
+    )
+    from mastermetastyletransfer_tpu.eval.harness import (
+        evaluate_grid, load_eval_images,
+    )
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.train.trainer import load_vgg_params
+    from mastermetastyletransfer_tpu.utils import checkpoint as ckpt_lib
+
+    swin = SwinConfig.for_variant(args.swin_variant)
+    if args.use_pallas:
+        swin = swin.replace(use_pallas=True)
+    model_cfg = ModelConfig(swin=swin, compute_dtype=args.compute_dtype)
+    if args.use_pallas:
+        model_cfg = model_cfg.replace(
+            transformer=model_cfg.transformer.replace(use_pallas=True))
+    cfg = ExperimentConfig(
+        model=model_cfg,
+        loss=LossConfig(default_lambda_value=args.lambda_style),
+        data=DataConfig(),
+        train=TrainConfig(lambda_style=args.lambda_style),
+    )
+
+    params = init_master_model(jax.random.PRNGKey(0), cfg.model)
+    if args.checkpoint:
+        if args.checkpoint.endswith(".npz"):
+            params = ckpt_lib.load_params_npz(args.checkpoint, params)
+        else:
+            from mastermetastyletransfer_tpu.train.state import (
+                create_train_state, make_optimizer,
+            )
+            tx = make_optimizer(params, cfg.train)
+            state, _ = create_train_state(params, cfg.train, tx)
+            params = ckpt_lib.restore_checkpoint(args.checkpoint, state).params
+    vgg = load_vgg_params(args.vgg_weights)
+
+    content, cnames = load_eval_images(args.content_dir, args.image_size)
+    styles, snames = load_eval_images(args.style_dir, args.image_size)
+    print(f"grid: {len(cnames)} contents x {len(snames)} styles "
+          f"= {len(cnames) * len(snames)} pairs, k={args.k}")
+
+    report = evaluate_grid(
+        params, vgg, cfg, content_images=content, style_images=styles,
+        content_names=cnames, style_names=snames, k=args.k,
+        style_batch=args.style_batch,
+        compute_similarity=args.compute_similarity,
+        save_images_to=args.save_images_to)
+    print(json.dumps(report.summary(), indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
 from mastermetastyletransfer_tpu.config import (
     DataConfig, ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
 )
