@@ -68,17 +68,33 @@ def _decode_resize(path: str, resize_to: int) -> np.ndarray:
 
 
 class ImageFolderDataset:
-    """Decoded+staged image dataset over a directory."""
+    """Decoded+staged image dataset over a directory.
 
-    def __init__(self, root: str, resize_to: int = 512, recursive: bool = True):
+    Batch reads go through the native C++ loader (threaded libjpeg decode +
+    bilinear resize, native/loader.cpp) when it is available, with automatic
+    per-file PIL fallback."""
+
+    def __init__(self, root: str, resize_to: int = 512, recursive: bool = True,
+                 use_native: bool = True):
         self.files = list_images(root, recursive=recursive)
         self.resize_to = resize_to
+        self.use_native = use_native
 
     def __len__(self) -> int:
         return len(self.files)
 
     def __getitem__(self, i: int) -> np.ndarray:
         return _decode_resize(self.files[i], self.resize_to)
+
+    def get_batch(self, indices) -> np.ndarray:
+        if self.use_native:
+            from mastermetastyletransfer_tpu.data.native_loader import (
+                decode_resize_batch, native_available,
+            )
+            if native_available():
+                return decode_resize_batch(
+                    [self.files[i] for i in indices], self.resize_to)
+        return np.stack([self[i] for i in indices])
 
 
 class PrefetchLoader:
@@ -109,7 +125,10 @@ class PrefetchLoader:
     def _worker(self):
         while not self._stop.is_set():
             idx = self._next_indices()
-            batch = np.stack([self.dataset[i] for i in idx])
+            if hasattr(self.dataset, "get_batch"):
+                batch = self.dataset.get_batch(idx)
+            else:
+                batch = np.stack([self.dataset[i] for i in idx])
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.5)
