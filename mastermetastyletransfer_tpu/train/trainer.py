@@ -149,7 +149,10 @@ def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
     t_start = time.time()
     try:
         for it in range(start_step, tcfg.max_iterations):
-            rng, r_pre, r_step = jax.random.split(rng, 3)
+            # derive per-iteration keys from the step index (not sequential
+            # splits) so a resumed run reproduces the exact rng stream
+            r_it = jax.random.fold_in(rng, it)
+            r_pre, r_step = jax.random.split(r_it)
             style_u8 = jnp.asarray(next(style_loader))
             if tcfg.mode == "meta":
                 batches = [next(content_loader)
