@@ -30,8 +30,9 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--dtype", type=str, default="bfloat16")
-    ap.add_argument("--pallas", action="store_true",
-                    help="use the fused Pallas window-attention kernel")
+    ap.add_argument("--pallas", dest="pallas", action="store_true", default=True,
+                    help="use the fused Pallas kernels (default)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
 
     from mastermetastyletransfer_tpu.config import ModelConfig

@@ -165,6 +165,9 @@ class DecoderConfig(_ConfigBase):
     """CNN (AdaIN-paper) decoder config (reference: codes/decoder.py:15-21)."""
     channel_dim: int = 256
     initializer: str = "kaiming_normal_"
+    # Exact algebraic fusion of upsample->pad->conv pairs into coarse-grid
+    # phase convs (ops/conv.py:upsample_conv_fused); bit-comparable output.
+    fuse_upsample: bool = True
 
 
 @dataclass(frozen=True)

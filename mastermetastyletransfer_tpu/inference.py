@@ -98,3 +98,11 @@ def lambda_sweep(param_sets: Dict[float, dict], content: jnp.ndarray,
     fn = make_lambda_sweep_fn(cfg, k)
     outs = jax.device_get(fn(stacked, content, style))
     return {l: outs[i] for i, l in enumerate(lams)}
+
+
+def interpolate_params(params_a: dict, params_b: dict, alpha: float) -> dict:
+    """Continuous stylization-strength control between two checkpoints
+    (e.g. the lambda=2 and lambda=4 models): (1-alpha)*a + alpha*b per leaf.
+    alpha may also be a traced scalar for on-device interpolation sweeps."""
+    return jax.tree_util.tree_map(
+        lambda a, b: (1.0 - alpha) * a + alpha * b, params_a, params_b)

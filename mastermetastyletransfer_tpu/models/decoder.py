@@ -12,7 +12,9 @@ import jax
 import jax.numpy as jnp
 
 from mastermetastyletransfer_tpu.config import DecoderConfig
-from mastermetastyletransfer_tpu.ops.conv import init_conv, reflect_conv, upsample_nearest
+from mastermetastyletransfer_tpu.ops.conv import (
+    init_conv, reflect_conv, upsample_conv_fused, upsample_nearest,
+)
 
 
 def _channel_plan(c: int):
@@ -39,11 +41,24 @@ def init_cnn_decoder(key, cfg: DecoderConfig) -> dict:
 
 def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     """NHWC features (B, H/8, W/8, C) -> RGB (B, H, W, 3). The final conv has
-    no activation (reference: codes/decoder.py:54)."""
+    no activation (reference: codes/decoder.py:54).
+
+    With cfg.fuse_upsample, each upsample->pad->conv pair runs as one exact
+    coarse-grid phase conv (ops/conv.py:upsample_conv_fused)."""
     plan = _channel_plan(cfg.channel_dim)
     n = len(plan)
+    pending_up = False
     for i, (_, _, up) in enumerate(plan):
-        x = reflect_conv(params[f"conv{i}"], x, relu=(i < n - 1))
-        if up:
+        relu = i < n - 1
+        if pending_up:
+            x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu)
+        else:
+            x = reflect_conv(params[f"conv{i}"], x, relu=relu)
+        if up and cfg.fuse_upsample:
+            pending_up = True
+        elif up:
             x = upsample_nearest(x, 2)
+            pending_up = False
+        else:
+            pending_up = False
     return x

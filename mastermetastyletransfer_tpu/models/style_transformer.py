@@ -31,6 +31,7 @@ from mastermetastyletransfer_tpu.ops.mlp import (
     init_linear, init_mlp, linear, mlp_apply, stochastic_depth,
 )
 from mastermetastyletransfer_tpu.ops.norm import instance_norm, layer_norm
+from mastermetastyletransfer_tpu.ops.pallas_mlp import fused_ln_mlp_residual
 
 
 def _split(rng, n):
@@ -60,6 +61,19 @@ def init_style_swin_block(key, attn_cfg: AttentionConfig, *, use_norm: bool,
     return p
 
 
+def _fuse_mlp_ok(attn_cfg: AttentionConfig, deterministic: bool,
+                 sd_prob: float) -> bool:
+    """The fused LN+MLP+residual kernel covers the eval path (stochastic
+    depth and dropout are identity)."""
+    import jax as _jax
+    return (attn_cfg.use_pallas and deterministic)
+
+
+def _pallas_interpret() -> bool:
+    import jax as _jax
+    return _jax.default_backend() != "tpu"
+
+
 def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
                            v: jnp.ndarray, attn_cfg: AttentionConfig, *,
                            use_norm: bool, exclude_mlp: bool,
@@ -80,18 +94,26 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
                                      deterministic=deterministic, rng=r_attn)
         x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
         if not exclude_mlp:
-            h = layer_norm(x, params["norm2"]["scale"], params["norm2"]["bias"])
-            m = mlp_apply(params["mlp"], h, dropout=attn_cfg.dropout,
-                          deterministic=deterministic, rng=r_mlp)
-            x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
+            if _fuse_mlp_ok(attn_cfg, deterministic, sd_prob):
+                x = fused_ln_mlp_residual(x, params["mlp"], params["norm2"],
+                                          interpret=_pallas_interpret())
+            else:
+                h = layer_norm(x, params["norm2"]["scale"], params["norm2"]["bias"])
+                m = mlp_apply(params["mlp"], h, dropout=attn_cfg.dropout,
+                              deterministic=deterministic, rng=r_mlp)
+                x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
     else:
         a = shifted_window_attention(params["attn"], q, k, v, attn_cfg,
                                      deterministic=deterministic, rng=r_attn)
         x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
         if not exclude_mlp:
-            m = mlp_apply(params["mlp"], x, dropout=attn_cfg.dropout,
-                          deterministic=deterministic, rng=r_mlp)
-            x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
+            if _fuse_mlp_ok(attn_cfg, deterministic, sd_prob):
+                x = fused_ln_mlp_residual(x, params["mlp"], None,
+                                          interpret=_pallas_interpret())
+            else:
+                m = mlp_apply(params["mlp"], x, dropout=attn_cfg.dropout,
+                              deterministic=deterministic, rng=r_mlp)
+                x = x + stochastic_depth(m, sd_prob, deterministic=deterministic, rng=r_sd2)
     return x
 
 
@@ -136,6 +158,9 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
             deterministic=deterministic, rng=r)
 
     def mlp_res(x, mlp_params, r_mlp, r_sd):
+        if _fuse_mlp_ok(acfg, deterministic, sd):
+            return fused_ln_mlp_residual(x, mlp_params, None,
+                                         interpret=_pallas_interpret())
         m = mlp_apply(mlp_params, x, dropout=cfg.encoder_dropout,
                       deterministic=deterministic, rng=r_mlp)
         return x + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)
@@ -259,6 +284,9 @@ def style_decoder_apply(params: dict, Fcs: jnp.ndarray, Key: jnp.ndarray,
         mu = mu.reshape(b, h, w, c)
 
     Query = Query * sigma + mu
+    if _fuse_mlp_ok(acfg, deterministic, sd):
+        return fused_ln_mlp_residual(Query, params["last_mlp"], None,
+                                     interpret=_pallas_interpret())
     m = mlp_apply(params["last_mlp"], Query, dropout=cfg.decoder_dropout,
                   deterministic=deterministic, rng=r_mlp)
     Query = Query + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)

@@ -74,3 +74,62 @@ def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     b, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, factor, w, factor, c))
     return x.reshape(b, h * factor, w * factor, c)
+
+
+def _phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Collapse a 3x3 kernel applied to a nearest-2x-upsampled map into four
+    phase-dependent 2x2 kernels on the coarse grid.
+
+    Derivation: fine output (2i+a, 2j+b) reads fine taps (2i+a+d, 2j+b+e),
+    d,e in {-1,0,1}; nearest upsampling maps fine tap t to coarse t//2, so
+    per phase each axis collapses to 2 coarse taps with summed weights:
+    a=0 -> rows {W0 | W1+W2}, a=1 -> rows {W0+W1 | W2} (same along x).
+    Returns (2, 2, C, 4*C_out) with phase p = 2a+b interleaved per C_out."""
+    # axis collapse: per phase, 2 coarse taps with summed original weights
+    ry = [
+        [w[0], w[1] + w[2]],        # a = 0
+        [w[0] + w[1], w[2]],        # a = 1
+    ]
+    phases = []
+    for a in range(2):
+        for b in range(2):
+            taps = []
+            for dy in range(2):
+                row = ry[a][dy]     # (3, C, C') along kx
+                rx = [
+                    [row[0], row[1] + row[2]],
+                    [row[0] + row[1], row[2]],
+                ][b]
+                taps.append(jnp.stack(rx))          # (2, C, C')
+            phases.append(jnp.stack(taps))          # (2, 2, C, C')
+    return jnp.concatenate(phases, axis=-1)         # (2, 2, C, 4*C')
+
+
+def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
+                        relu: bool = True) -> jnp.ndarray:
+    """Exact fusion of upsample_nearest(2) -> 1px reflect pad -> 3x3 conv
+    [-> ReLU] as ONE 2x2 conv on the coarse grid + phase interleave.
+
+    Boundary: reflect-pad of the upsampled map (up_pad[-1] = up[1] = x[0])
+    equals replicate-pad on the coarse grid. 0.44x the FLOPs of the fine-grid
+    conv and 4x the output-lane utilization for narrow channel counts — the
+    decoder's three upsample->conv pairs are its most expensive layers
+    (reference semantics: codes/decoder.py:25-27).
+    """
+    b, h, w, c = x.shape
+    wk = params["kernel"]                    # (3, 3, C, C')
+    c_out = wk.shape[-1]
+    pk = _phase_kernel(wk.astype(jnp.float32)).astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    big = lax.conv_general_dilated(
+        xp, pk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)   # (B, H+1, W+1, 4*C')
+    big = (big + jnp.tile(params["bias"], 4).astype(jnp.float32)).astype(x.dtype)
+    if relu:
+        big = jnp.maximum(big, 0)
+    # phase p = 2a+b sits at coarse offset (a, b); interleave to fine grid
+    subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
+            for a in range(2) for bb in range(2)]
+    stacked = jnp.stack(subs, axis=3).reshape(b, h, w, 2, 2, c_out)
+    return stacked.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c_out)

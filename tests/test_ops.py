@@ -195,3 +195,45 @@ def test_dual_value_attention_in_before_linear_padded(rng):
         cfg.num_heads, q_proj=True)
     np.testing.assert_allclose(np.asarray(sigma), want_sigma, atol=2e-4)
     np.testing.assert_allclose(np.asarray(mu), want_mu, atol=2e-4)
+
+
+def test_upsample_conv_fused_exact(rng):
+    """Fused coarse-grid phase conv must match upsample -> reflect pad ->
+    conv3x3 -> relu exactly (same math, reordered)."""
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.ops.conv import (
+        init_conv, reflect_conv, upsample_conv_fused, upsample_nearest,
+    )
+    import jax
+
+    params = init_conv(jax.random.PRNGKey(0), 16, 24)
+    params = {"kernel": params["kernel"],
+              "bias": jnp.asarray(rng.standard_normal(24, ).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 16)).astype(np.float32))
+    ref = reflect_conv(params, upsample_nearest(x, 2), relu=True)
+    out = upsample_conv_fused(params, x, relu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # no-relu tail
+    ref2 = reflect_conv(params, upsample_nearest(x, 2), relu=False)
+    out2 = upsample_conv_fused(params, x, relu=False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cnn_decoder_fused_matches_unfused(rng):
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+
+    cfg_f = DecoderConfig(fuse_upsample=True)
+    cfg_u = DecoderConfig(fuse_upsample=False)
+    params = init_cnn_decoder(jax.random.PRNGKey(0), cfg_f)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32)) * 0.1
+    a = cnn_decoder_apply(params, x, cfg_f)
+    b = cnn_decoder_apply(params, x, cfg_u)
+    assert a.shape == b.shape == (1, 64, 64, 3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
