@@ -165,17 +165,37 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
                       deterministic=deterministic, rng=r_mlp)
         return x + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)
 
+    def scale_shift(Key, Scale, Shift, r_a, r_b):
+        """Scale and Shift cross-attend with identical q=k=Key and shared
+        weights — on the Pallas eval path the softmax runs ONCE with two
+        value streams (the reference computes it twice,
+        codes/style_transformer.py:867-882)."""
+        if acfg.use_pallas and deterministic:
+            from mastermetastyletransfer_tpu.ops.attention import (
+                shifted_window_attention_two_v,
+            )
+            attn = params["shared_mha"]["attn"]
+            if cfg.encoder_use_norm:
+                n1 = params["shared_mha"]["norm1"]
+                qk = layer_norm(Key, n1["scale"], n1["bias"])
+                v1 = layer_norm(Scale, n1["scale"], n1["bias"])
+                v2 = layer_norm(Shift, n1["scale"], n1["bias"])
+            else:
+                qk, v1, v2 = Key, Scale, Shift
+            a1, a2 = shifted_window_attention_two_v(attn, qk, qk, v1, v2, acfg)
+            return Scale + a1, Shift + a2
+        return (block(Key, Key, Scale, False, r_a),
+                block(Key, Key, Shift, False, r_b))
+
     if cfg.encoder_if_use_processed_Key_in_Scale_and_Shift_calculation:
         Key = block(Key, Key, Key, True, rs[0])
         Key = mlp_res(Key, params["mlp_key"], rs[1], rs[2])
-        Scale = block(Key, Key, Scale, False, rs[3])
+        Scale, Shift = scale_shift(Key, Scale, Shift, rs[3], rs[6])
         Scale = mlp_res(Scale, params["mlp_scale"], rs[4], rs[5])
-        Shift = block(Key, Key, Shift, False, rs[6])
         Shift = mlp_res(Shift, params["mlp_shift"], rs[7], rs[8])
     else:
-        Scale = block(Key, Key, Scale, False, rs[0])
+        Scale, Shift = scale_shift(Key, Scale, Shift, rs[0], rs[3])
         Scale = mlp_res(Scale, params["mlp_scale"], rs[1], rs[2])
-        Shift = block(Key, Key, Shift, False, rs[3])
         Shift = mlp_res(Shift, params["mlp_shift"], rs[4], rs[5])
         Key = block(Key, Key, Key, True, rs[6])
         Key = mlp_res(Key, params["mlp_key"], rs[7], rs[8])

@@ -212,6 +212,45 @@ def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
     return _finalize(x, geom, cfg.window_size)
 
 
+def shifted_window_attention_two_v(params: dict, q_in: jnp.ndarray,
+                                   k_in: jnp.ndarray, v1_in: jnp.ndarray,
+                                   v2_in: jnp.ndarray, cfg: AttentionConfig
+                                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One attention map, two independent V inputs through the SAME
+    Wv/proj weights — the style encoder's Scale and Shift blocks share
+    q=k=Key and all weights (reference: codes/style_transformer.py:867-882
+    computes the identical softmax twice; here it runs once).
+
+    Pallas fast path only (eval); callers fall back to two
+    shifted_window_attention calls otherwise.
+    """
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_window_attention_dual,
+    )
+    # NOTE: projection must follow the zero-pad (padded tokens carry the
+    # qkv bias and participate as keys in border windows — the reference
+    # pads the raw inputs, codes/style_transformer.py:77-87, then projects).
+    (qw, kw, v1w, v2w), geom = _prepare(
+        [q_in, k_in, v1_in, v2_in], cfg.window_size, cfg.shift_size)
+    qw = linear(params["wq"], qw)
+    kw = linear(params["wk"], kw)
+    wh, ww = cfg.window_size
+    bias = relative_position_bias(params["rel_bias_table"], wh, ww)
+    mask = None
+    if geom["sh"] or geom["sw"]:
+        mask = shift_attention_mask(
+            geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+    b = geom["b"]
+    shared = {"wv_scale": params["wv"], "wv_shift": params["wv"],
+              "proj": params["proj"]}
+    o1, o2 = fused_window_attention_dual(
+        shared, _win4(qw, b), _win4(kw, b), _win4(v1w, b), _win4(v2w, b),
+        bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+    out1 = _finalize(o1.reshape(-1, o1.shape[2], o1.shape[3]), geom, cfg.window_size)
+    out2 = _finalize(o2.reshape(-1, o2.shape[2], o2.shape[3]), geom, cfg.window_size)
+    return out1, out2
+
+
 def shifted_window_attention_dual_value(
         params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
         v_scale_in: jnp.ndarray, v_shift_in: jnp.ndarray, cfg: AttentionConfig, *,
