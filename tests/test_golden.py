@@ -1,0 +1,73 @@
+"""Golden regression tests: fixed seed + fixed input -> summary statistics
+pinned to recorded values. Catches silent numeric drift in any layer of the
+stack (the reference has no analog; closest is its loss-calibration harness,
+codes/loss.py:341-805)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import ExperimentConfig, ModelConfig
+from mastermetastyletransfer_tpu.losses.loss import perceptual_loss
+from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+from mastermetastyletransfer_tpu.models import init_master_model, master_apply
+
+
+def _fixed_inputs():
+    c = jax.random.uniform(jax.random.PRNGKey(11), (1, 64, 64, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(22), (1, 64, 64, 3))
+    return c, s
+
+
+def test_golden_forward_stats():
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c, s = _fixed_inputs()
+    out = np.asarray(master_apply(params, c, s, cfg, k=2))
+    # Recorded from the frozen init/op stack (PRNG + op semantics). A change
+    # here means the numerics of some layer moved — investigate before
+    # re-pinning.
+    got = (float(out.mean()), float(out.std()),
+           float(np.abs(out).max()))
+    expected = _GOLDEN["forward_mean_std_absmax"]
+    np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-5)
+
+
+def test_golden_loss_values():
+    cfg = ExperimentConfig()
+    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    c, s = _fixed_inputs()
+    out = 0.5 * (c + s)
+    losses = perceptual_loss(vgg, c, s, out, cfg.loss, lambda_value=4.0)
+    got = (float(losses["content"]), float(losses["style"]),
+           float(losses["total"]))
+    np.testing.assert_allclose(got, _GOLDEN["loss_c_s_t"], rtol=2e-3)
+
+
+def _record():
+    """Regenerate golden values (run manually, paste below)."""
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c, s = _fixed_inputs()
+    out = np.asarray(master_apply(params, c, s, cfg, k=2))
+    fwd = (float(out.mean()), float(out.std()), float(np.abs(out).max()))
+
+    ecfg = ExperimentConfig()
+    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    mix = 0.5 * (c + s)
+    losses = perceptual_loss(vgg, c, s, mix, ecfg.loss, lambda_value=4.0)
+    lvals = (float(losses["content"]), float(losses["style"]),
+             float(losses["total"]))
+    print({"forward_mean_std_absmax": fwd, "loss_c_s_t": lvals})
+
+
+_GOLDEN = {
+    # recorded on the CPU backend (tests force CPU via conftest)
+    "forward_mean_std_absmax": (-1.1073182821273804, 5.53693151473999,
+                                15.40848445892334),
+    "loss_c_s_t": (0.9063376784324646, 0.5332991480827332,
+                   3.039534330368042),
+}
+
+if __name__ == "__main__":
+    _record()
