@@ -24,7 +24,7 @@ from mastermetastyletransfer_tpu.config import AttentionConfig, SwinConfig
 from mastermetastyletransfer_tpu.models.style_transformer import (
     init_style_swin_block, style_swin_block_apply,
 )
-from mastermetastyletransfer_tpu.ops.conv import conv2d
+
 from mastermetastyletransfer_tpu.ops.norm import layer_norm
 
 
@@ -92,7 +92,16 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
                         deterministic: bool = True,
                         rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """NHWC images (B, H, W, 3) -> NHWC features (B, H/8, W/8, 2*embed_dim)."""
-    x = conv2d(params["patch_embed"]["conv"], images, stride=4)
+    # patch embed: the 4x4 stride-4 conv IS a per-patch matmul — run it as
+    # space-to-depth + GEMM (exact; contraction 48, MXU-friendly lanes E)
+    b, h, w, cin = images.shape
+    pe = params["patch_embed"]["conv"]
+    e = pe["kernel"].shape[-1]
+    patches = images.reshape(b, h // 4, 4, w // 4, 4, cin)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // 4, w // 4, 16 * cin)
+    wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
+    x = patches @ wk + pe["bias"].astype(patches.dtype)
     x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
                    params["patch_embed"]["norm"]["bias"])
 
