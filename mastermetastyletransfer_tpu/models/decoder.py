@@ -13,7 +13,8 @@ import jax.numpy as jnp
 
 from mastermetastyletransfer_tpu.config import DecoderConfig
 from mastermetastyletransfer_tpu.ops.conv import (
-    init_conv, reflect_conv, upsample_conv_fused, upsample_nearest,
+    init_conv, phase_conv3x3, reflect_conv, upsample_conv_fused,
+    upsample_nearest,
 )
 
 
@@ -43,22 +44,35 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
     """NHWC features (B, H/8, W/8, C) -> RGB (B, H, W, 3). The final conv has
     no activation (reference: codes/decoder.py:54).
 
-    With cfg.fuse_upsample, each upsample->pad->conv pair runs as one exact
-    coarse-grid phase conv (ops/conv.py:upsample_conv_fused)."""
+    With cfg.fuse_upsample the decoder runs almost entirely in PHASE space
+    (ops/conv.py): each upsample->pad->conv pair is one exact coarse-grid
+    phase conv, and the plain convs that follow stay phase-packed (4C lanes
+    at 1/4 the spatial area) until the next upsample boundary or the final
+    RGB — the fine grid is only ever materialized at upsample boundaries and
+    for the 3-channel output. All transforms are exact (parity-tested)."""
     plan = _channel_plan(cfg.channel_dim)
     n = len(plan)
-    pending_up = False
+    pending_up = False   # previous conv was marked upsample-after
+    in_phase = False     # x is currently a phase tensor
     for i, (_, _, up) in enumerate(plan):
         relu = i < n - 1
+        if not cfg.fuse_upsample:
+            x = reflect_conv(params[f"conv{i}"], x, relu=relu)
+            if up:
+                x = upsample_nearest(x, 2)
+            continue
         if pending_up:
-            x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu)
+            x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
+                                    keep_phase=True)
+            in_phase = True
+        elif in_phase:
+            # leave phase space at upsample boundaries (the next up-conv
+            # consumes a plain coarse grid) and for the final RGB
+            leave = up or i == n - 1
+            x = phase_conv3x3(params[f"conv{i}"], x, relu=relu,
+                              interleave=leave)
+            in_phase = not leave
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)
-        if up and cfg.fuse_upsample:
-            pending_up = True
-        elif up:
-            x = upsample_nearest(x, 2)
-            pending_up = False
-        else:
-            pending_up = False
+        pending_up = up
     return x

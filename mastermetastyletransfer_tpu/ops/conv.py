@@ -105,8 +105,78 @@ def _phase_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate(phases, axis=-1)         # (2, 2, C, 4*C')
 
 
+def phase_interleave(p: jnp.ndarray) -> jnp.ndarray:
+    """Phase tensor (B, H, W, 4*C) with channel order (2a+b)*C -> fine grid
+    (B, 2H, 2W, C)."""
+    b, h, w, c4 = p.shape
+    c = c4 // 4
+    x = p.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c)
+
+
+# Per-axis tap maps for a fine 3x3 conv evaluated in phase space: for output
+# phase a' and coarse window row dy (over an edge-padded input), the list of
+# (input phase, original kernel tap) pairs that contribute.
+_PHASE_TAPS = {
+    (0, 0): [(1, 0)],
+    (0, 1): [(0, 1), (1, 2)],
+    (1, 0): [(0, 0), (1, 1)],
+    (1, 1): [(0, 2)],
+}
+
+
+def _phase_space_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, C, C') fine-grid kernel -> (2, 2, 4C, 4C') phase-space kernel.
+
+    Output phase (a', b') at coarse (i, j) reads fine taps
+    (2i+a'+d, 2j+b'+e); fine index 2i+a'+d maps to coarse i+(a'+d)//2,
+    phase (a'+d)%2 — a 2x2 coarse window over an edge-padded phase tensor
+    (fine reflect-pad == coarse edge-pad on the touched phase channels)."""
+    _, _, c, c_out = w.shape
+    k = jnp.zeros((2, 2, 4 * c, 4 * c_out), w.dtype)
+    for ap in range(2):
+        for bp in range(2):
+            out_sl = slice((2 * ap + bp) * c_out, (2 * ap + bp + 1) * c_out)
+            for dy in range(2):
+                for dx in range(2):
+                    for pa, ty in _PHASE_TAPS[(ap, dy)]:
+                        for pb, tx in _PHASE_TAPS[(bp, dx)]:
+                            in_sl = slice((2 * pa + pb) * c,
+                                          (2 * pa + pb + 1) * c)
+                            k = k.at[dy, dx, in_sl, out_sl].add(w[ty, tx])
+    return k
+
+
+def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
+                  interleave: bool = False) -> jnp.ndarray:
+    """Exact fine-grid reflect-pad 3x3 conv computed on a PHASE tensor
+    (B, H, W, 4C) without materializing the (2H, 2W, C) fine grid.
+
+    The input stays lane-packed (4C channels instead of C at 4x the spatial
+    area), which matters for the decoder tail where C is 32 and the fine
+    grid is 512^2. Returns a phase tensor (B, H, W, 4*C_out), or the fine
+    grid when `interleave`."""
+    b, h, w, c4 = p.shape
+    wk = params["kernel"]
+    c_out = wk.shape[-1]
+    pk = _phase_space_kernel(wk.astype(jnp.float32)).astype(p.dtype)
+    pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    big = lax.conv_general_dilated(
+        pp, pk, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)   # (B, H+1, W+1, 4*C_out)
+    big = (big + jnp.tile(params["bias"], 4).astype(jnp.float32)).astype(p.dtype)
+    if relu:
+        big = jnp.maximum(big, 0)
+    subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
+            for a in range(2) for bb in range(2)]
+    out = jnp.concatenate(subs, axis=-1)
+    return phase_interleave(out) if interleave else out
+
+
 def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
-                        relu: bool = True) -> jnp.ndarray:
+                        relu: bool = True,
+                        keep_phase: bool = False) -> jnp.ndarray:
     """Exact fusion of upsample_nearest(2) -> 1px reflect pad -> 3x3 conv
     [-> ReLU] as ONE 2x2 conv on the coarse grid + phase interleave.
 
@@ -128,8 +198,8 @@ def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
     big = (big + jnp.tile(params["bias"], 4).astype(jnp.float32)).astype(x.dtype)
     if relu:
         big = jnp.maximum(big, 0)
-    # phase p = 2a+b sits at coarse offset (a, b); interleave to fine grid
+    # phase p = 2a+b sits at coarse offset (a, b)
     subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
             for a in range(2) for bb in range(2)]
-    stacked = jnp.stack(subs, axis=3).reshape(b, h, w, 2, 2, c_out)
-    return stacked.transpose(0, 1, 3, 2, 4, 5).reshape(b, 2 * h, 2 * w, c_out)
+    out = jnp.concatenate(subs, axis=-1)      # phase tensor (B, H, W, 4*C')
+    return out if keep_phase else phase_interleave(out)
