@@ -52,8 +52,18 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
 
     # Swin freezing is handled by optimizer masking in train/ (the reference
     # freezes it via requires_grad, train.py:216-218, but can unfreeze).
-    fc = swin_backbone_apply(params["swin"], content, cfg.swin)
-    fs = swin_backbone_apply(params["swin"], style, cfg.swin)
+    # Content and style ride ONE batched encoder pass (the reference calls
+    # swin twice, codes/full_model.py:219-220; every op here is
+    # batch-independent so a concat is exact and halves per-op overhead).
+    if content.shape == style.shape:
+        b = content.shape[0]
+        both = swin_backbone_apply(
+            params["swin"], jnp.concatenate([content, style], axis=0),
+            cfg.swin)
+        fc, fs = both[:b], both[b:]
+    else:
+        fc = swin_backbone_apply(params["swin"], content, cfg.swin)
+        fs = swin_backbone_apply(params["swin"], style, cfg.swin)
 
     fcs = style_transformer_apply(
         params["style_transformer"], fc, fs, cfg.transformer,
