@@ -51,13 +51,15 @@ def init_conv(key, in_ch: int, out_ch: int, ksize: int = 3,
 
 def conv2d(params: dict, x: jnp.ndarray, *, stride: int = 1,
            padding="VALID") -> jnp.ndarray:
+    # NOTE: no preferred_element_type — the TPU conv accumulates in fp32
+    # internally regardless, and an explicit f32 output dtype breaks the
+    # conv transpose rule under grad with bf16 operands (f32 cotangent vs
+    # bf16 kernel dtype mismatch).
     y = lax.conv_general_dilated(
         x, params["kernel"].astype(x.dtype),
         window_strides=(stride, stride), padding=padding,
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    y = (y + params["bias"].astype(jnp.float32)).astype(x.dtype)
-    return y
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + params["bias"].astype(y.dtype)
 
 
 def reflect_conv(params: dict, x: jnp.ndarray, *, relu: bool = True) -> jnp.ndarray:
@@ -163,9 +165,8 @@ def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
     pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     big = lax.conv_general_dilated(
         pp, pk, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)   # (B, H+1, W+1, 4*C_out)
-    big = (big + jnp.tile(params["bias"], 4).astype(jnp.float32)).astype(p.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, H+1, W+1, 4*C_out)
+    big = big + jnp.tile(params["bias"], 4).astype(big.dtype)
     if relu:
         big = jnp.maximum(big, 0)
     subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
@@ -193,9 +194,8 @@ def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
     big = lax.conv_general_dilated(
         xp, pk, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)   # (B, H+1, W+1, 4*C')
-    big = (big + jnp.tile(params["bias"], 4).astype(jnp.float32)).astype(x.dtype)
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, H+1, W+1, 4*C')
+    big = big + jnp.tile(params["bias"], 4).astype(big.dtype)
     if relu:
         big = jnp.maximum(big, 0)
     # phase p = 2a+b sits at coarse offset (a, b)

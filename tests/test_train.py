@@ -141,3 +141,15 @@ def test_trainable_labels_shapes_match_params():
     labels = trainable_labels(params, cfg.train)
     assert (jax.tree_util.tree_structure(labels)
             == jax.tree_util.tree_structure(params))
+
+
+def test_train_step_bfloat16_forward():
+    """bf16 model forward must be trainable (conv transpose dtype rule)."""
+    cfg = _tiny_cfg(mode="plain")
+    cfg = cfg.replace(model=cfg.model.replace(compute_dtype="bfloat16"))
+    state, tx, vgg = _setup(cfg)
+    step = make_train_step(cfg, vgg, tx)
+    c, s = _batch()
+    new_state, metrics = step(state, c, s, jax.random.PRNGKey(7))
+    assert np.isfinite(float(metrics["total"]))
+    assert int(new_state.step) == 1
