@@ -46,12 +46,14 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
     content = content.astype(dtype)
     style = style.astype(dtype)
 
-    r_st = None
+    r_st = r_swin = None
     if rng is not None:
-        rng, r_st = jax.random.split(rng)
+        rng, r_st, r_swin = jax.random.split(rng, 3)
 
     # Swin freezing is handled by optimizer masking in train/ (the reference
     # freezes it via requires_grad, train.py:216-218, but can unfreeze).
+    # Stochastic depth stays ACTIVE on the frozen swin in training — the
+    # reference runs the whole model in train() mode.
     # Content and style ride ONE batched encoder pass (the reference calls
     # swin twice, codes/full_model.py:219-220; every op here is
     # batch-independent so a concat is exact and halves per-op overhead).
@@ -59,11 +61,16 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
         b = content.shape[0]
         both = swin_backbone_apply(
             params["swin"], jnp.concatenate([content, style], axis=0),
-            cfg.swin)
+            cfg.swin, deterministic=deterministic, rng=r_swin)
         fc, fs = both[:b], both[b:]
     else:
-        fc = swin_backbone_apply(params["swin"], content, cfg.swin)
-        fs = swin_backbone_apply(params["swin"], style, cfg.swin)
+        r_sw2 = None
+        if r_swin is not None:
+            r_swin, r_sw2 = jax.random.split(r_swin)
+        fc = swin_backbone_apply(params["swin"], content, cfg.swin,
+                                 deterministic=deterministic, rng=r_swin)
+        fs = swin_backbone_apply(params["swin"], style, cfg.swin,
+                                 deterministic=deterministic, rng=r_sw2)
 
     fcs = style_transformer_apply(
         params["style_transformer"], fc, fs, cfg.transformer,

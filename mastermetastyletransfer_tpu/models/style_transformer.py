@@ -9,8 +9,9 @@ Functional re-design of the reference modules:
 
 Everything is a pure function over a params pytree; `k` (the controllable
 stacked-layer count, ZS-L1 vs ZS-L3) is either a static python int (unrolled,
-inference) or a traced scalar handled by a masked lax.scan over max_layers
-iterations (training with random k) — both jit-clean with static shapes.
+inference) or a traced scalar handled by a lax.switch over unrolled depths
+1..max_layers (training with random k; only the sampled depth executes) —
+both jit-clean with static shapes.
 """
 
 from __future__ import annotations
@@ -65,8 +66,7 @@ def _fuse_mlp_ok(attn_cfg: AttentionConfig, deterministic: bool,
                  sd_prob: float) -> bool:
     """The fused LN+MLP+residual kernel covers the eval path (stochastic
     depth and dropout are identity)."""
-    import jax as _jax
-    return (attn_cfg.use_pallas and deterministic)
+    return attn_cfg.use_pallas and deterministic
 
 
 def _pallas_interpret() -> bool:
