@@ -80,6 +80,15 @@ class MetricsLogger:
         if self.wandb:
             self.wandb.log(rec, step=step)
 
+    def log_images(self, step: int, images: dict):
+        """content/style/stylized triplets, like the reference's periodic
+        wandb.Image logging (reference: train.py:539-553)."""
+        if self.wandb:
+            self.wandb.log(
+                {k: self.wandb.Image(np.clip(np.asarray(v) * 255, 0, 255)
+                                     .astype(np.uint8))
+                 for k, v in images.items()}, step=step)
+
     def close(self):
         self.f.close()
         if self.wandb:
@@ -190,8 +199,14 @@ def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
                 out = master_apply(jax.device_get(state).params
                                    if mesh else state.params,
                                    c1[None], style[:1], cfg.model, k=1)
+                out_np = np.asarray(jax.device_get(out))[0]
                 _dump_image(os.path.join(exp_dir, f"stylized_{it + 1}.png"),
-                            np.asarray(jax.device_get(out))[0])
+                            out_np)
+                logger.log_images(it + 1, {
+                    "content": jax.device_get(c1),
+                    "style": jax.device_get(style[0]),
+                    "stylized": out_np,
+                })
     finally:
         content_loader.close()
         style_loader.close()
