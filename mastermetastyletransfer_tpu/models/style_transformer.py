@@ -88,6 +88,17 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     """
     x = q if (calculating_key or not exclude_mlp) else v
     r_attn, r_sd1, r_mlp, r_sd2 = _split(rng, 4)
+
+    # Eval fast path: a full self-attention block (q=k=v, MLP-bearing) runs
+    # as ONE fused Pallas kernel after norm1 (ops/attention.py).
+    if (_fuse_mlp_ok(attn_cfg, deterministic, sd_prob)
+            and not exclude_mlp and q is k and k is v):
+        from mastermetastyletransfer_tpu.ops.attention import (
+            fused_self_attention_block,
+        )
+        return fused_self_attention_block(params, q, attn_cfg,
+                                          use_norm=use_norm)
+
     if use_norm:
         n1 = lambda t: layer_norm(t, params["norm1"]["scale"], params["norm1"]["bias"])
         a = shifted_window_attention(params["attn"], n1(q), n1(k), n1(v), attn_cfg,

@@ -284,3 +284,106 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
       _linw(params, "proj"), _linb(params, "proj", c, q.dtype),
       bias_b, mask_b)
     return _untile(sigma, nw, n), _untile(mu, nw, n)
+
+
+def _kernel_block(x_ref, ln_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+                  bv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                  n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                  out_ref, *, heads: int, scale: float, use_norm2: bool,
+                  eps: float = 1e-5):
+    """Whole transformer block in one program: self-attention (from the
+    pre-normed input) + residual + [LayerNorm ->] MLP + residual.
+
+    LN1 stays OUTSIDE (padded tokens must be exactly zero entering the
+    projections — reference pads after norm1); LN2/MLP are per-token, so
+    padded rows compute garbage that the caller's untile drops."""
+    from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
+
+    f32 = jnp.float32
+    dt = x_ref.dtype
+
+    def proj(xin, w_ref, b_ref):
+        return jnp.dot(xin, w_ref[:],
+                       preferred_element_type=f32) + b_ref[0].astype(f32)
+
+    xin = ln_ref[0, 0]
+    q = proj(xin, wq_ref, bq_ref)
+    k = proj(xin, wk_ref, bk_ref)
+    v = proj(xin, wv_ref, bv_ref)
+    (acc,) = _attend_heads(q, k, (v,), wp_ref[:], bias_ref[:],
+                           mask_ref[0].astype(f32), heads, scale, dt)
+    y = x_ref[0, 0].astype(f32) + acc + bp_ref[0].astype(f32)
+
+    h = y
+    if use_norm2:
+        mean = jnp.mean(h, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
+        h = (h - mean) * jax.lax.rsqrt(var + eps)
+        h = h * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
+    h = jnp.dot(h.astype(dt), f1w_ref[:],
+                preferred_element_type=f32) + f1b_ref[0].astype(f32)
+    h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
+    h = jnp.dot(h.astype(dt), f2w_ref[:],
+                preferred_element_type=f32) + f2b_ref[0].astype(f32)
+    out_ref[0, 0] = (y + h).astype(out_ref.dtype)
+
+
+def fused_window_block(params: dict, x: jnp.ndarray, ln_x: jnp.ndarray,
+                       bias: jnp.ndarray, mask: Optional[jnp.ndarray],
+                       heads: int, mlp_params: dict,
+                       norm2: Optional[dict], *,
+                       target_rows: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Self-attention transformer block fused into one kernel.
+
+    x / ln_x: (B, nW, N, C) window-partitioned raw input and its norm1 view
+    (identical when the block is norm-free). Returns the full block output
+    x + attn(ln_x) + mlp(LN2(.)) in the same layout."""
+    b, nw, n, c = x.shape
+    tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
+
+    x4 = _tiles(_pad_windows(x, nw_pad), nt)
+    ln4 = _tiles(_pad_windows(ln_x, nw_pad), nt)
+    bias_b = _bias_big(bias, tw)
+    mask_b = _expand_mask(mask, nt, tw, n, nw)
+
+    w1 = mlp_params["fc1"]["kernel"]
+    hidden = w1.shape[1]
+    b1 = mlp_params["fc1"].get("bias")
+    w2 = mlp_params["fc2"]["kernel"]
+    b2 = mlp_params["fc2"].get("bias")
+    b1 = jnp.zeros((1, hidden), x.dtype) if b1 is None else b1.reshape(1, hidden)
+    b2 = jnp.zeros((1, c), x.dtype) if b2 is None else b2.reshape(1, c)
+    if norm2 is not None:
+        n2s = norm2["scale"].reshape(1, c)
+        n2b = norm2["bias"].reshape(1, c)
+    else:
+        n2s = jnp.ones((1, c), x.dtype)
+        n2b = jnp.zeros((1, c), x.dtype)
+
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    hmat = pl.BlockSpec((c, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel_block, heads=heads,
+                             scale=(c // heads) ** -0.5,
+                             use_norm2=norm2 is not None)
+    out = pl.pallas_call(
+        kern,
+        grid=(b, nt),
+        in_specs=[win, win,
+                  wmat, wvec, wmat, wvec, wmat, wvec, wmat, wvec,
+                  rbias, mspec,
+                  wvec, wvec, hmat, hvec, hmat_t, wvec],
+        out_specs=win,
+        out_shape=jax.ShapeDtypeStruct((b, nt, twn, c), x.dtype),
+        interpret=interpret,
+    )(x4, ln4,
+      _linw(params, "wq"), _linb(params, "wq", c, x.dtype),
+      _linw(params, "wk"), _linb(params, "wk", c, x.dtype),
+      _linw(params, "wv"), _linb(params, "wv", c, x.dtype),
+      _linw(params, "proj"), _linb(params, "proj", c, x.dtype),
+      bias_b, mask_b,
+      n2s, n2b, w1, b1, w2, b2)
+    return _untile(out, nw, n)
