@@ -74,12 +74,25 @@ def evaluate_grid(params, vgg_params, cfg: ExperimentConfig, *,
     content_names = content_names or [f"content{i}" for i in range(C)]
     style_names = style_names or [f"style{i}" for i in range(S)]
 
+    from mastermetastyletransfer_tpu.models.master import (
+        encode_features, stylize_from_features,
+    )
+
     @jax.jit
-    def eval_batch(params, content_one, styles):
+    def encode_styles(params, styles):
+        ms = prepare_batch_for_model(styles, styles, cfg.data)[1]
+        return encode_features(params, ms, cfg.model)
+
+    @jax.jit
+    def eval_batch(params, content_one, styles, fs):
+        """Style encoder features are precomputed once per style and reused
+        across every content (exact; the grid reuses each style C times)."""
         b = styles.shape[0]
         content = jnp.tile(content_one[None], (b, 1, 1, 1))
-        mc, ms = prepare_batch_for_model(content, styles, cfg.data)
-        out = master_apply(params, mc, ms, cfg.model, k=k, deterministic=True)
+        mc = prepare_batch_for_model(content, styles, cfg.data)[0]
+        fc = encode_features(params, mc, cfg.model)
+        out = stylize_from_features(params, fc, fs, cfg.model, k=k,
+                                    deterministic=True)
         lc, ls, lo = _loss_views(content, styles, out, cfg.data)
         losses = perceptual_loss(
             vgg_params, lc, ls, lo, cfg.loss,
@@ -96,11 +109,16 @@ def evaluate_grid(params, vgg_params, cfg: ExperimentConfig, *,
     if save_images_to:
         os.makedirs(save_images_to, exist_ok=True)
 
+    style_feats = {
+        s0: encode_styles(params, jnp.asarray(styles_padded[s0:s0 + style_batch]))
+        for s0 in range(0, S, style_batch)
+    }
+
     for ci in range(C):
         c_img = jnp.asarray(content_images[ci])
         for s0 in range(0, S, style_batch):
             chunk = jnp.asarray(styles_padded[s0:s0 + style_batch])
-            out, losses = eval_batch(params, c_img, chunk)
+            out, losses = eval_batch(params, c_img, chunk, style_feats[s0])
             out = np.asarray(jax.device_get(out))
             losses = jax.device_get(losses)
             n_valid = min(style_batch, S - s0)

@@ -124,8 +124,19 @@ def perceptual_loss(vgg_params: dict, content: jnp.ndarray, style: jnp.ndarray,
     if lambda_value is None or cfg.replicate_lambda_override_bug:
         lambda_value = cfg.default_lambda_value
 
-    fc = vgg19_features_apply(vgg_params, content)
-    fs = vgg19_features_apply(vgg_params, style)
+    # content+style features ride ONE batched VGG pass (both are gradient-
+    # free targets); the output branch runs separately so its VGG activations
+    # carry gradients. Exact: VGG ops are batch-independent.
+    if content.shape == style.shape:
+        b = content.shape[0]
+        fcs = vgg19_features_apply(
+            vgg_params, jax.lax.stop_gradient(
+                jnp.concatenate([content, style], axis=0)))
+        fc = [f[:b] for f in fcs]
+        fs = [f[b:] for f in fcs]
+    else:
+        fc = vgg19_features_apply(vgg_params, jax.lax.stop_gradient(content))
+        fs = vgg19_features_apply(vgg_params, jax.lax.stop_gradient(style))
     fo = vgg19_features_apply(vgg_params, output)
 
     c_loss = content_loss(fc, fo, cfg.distance_content, per_example)

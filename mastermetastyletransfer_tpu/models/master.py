@@ -72,10 +72,29 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
         fs = swin_backbone_apply(params["swin"], style, cfg.swin,
                                  deterministic=deterministic, rng=r_sw2)
 
+    return stylize_from_features(params, fc, fs, cfg, k=k, max_k=max_k,
+                                 deterministic=deterministic, rng=r_st)
+
+
+def encode_features(params: dict, images: jnp.ndarray,
+                    cfg: ModelConfig) -> jnp.ndarray:
+    """Frozen-encoder features (B, H/8, W/8, 2E) for NHWC images. Lets
+    callers cache style features across many contents (the eval grid reuses
+    each style 11x; the reference recomputes swin per pair,
+    codes/full_model.py:219-220)."""
+    return swin_backbone_apply(
+        params["swin"], images.astype(jnp.dtype(cfg.compute_dtype)), cfg.swin)
+
+
+def stylize_from_features(params: dict, fc: jnp.ndarray, fs: jnp.ndarray,
+                          cfg: ModelConfig, *, k: int = 1,
+                          max_k: Optional[int] = None,
+                          deterministic: bool = True,
+                          rng: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Style transformer + CNN decoder on precomputed encoder features."""
     fcs = style_transformer_apply(
         params["style_transformer"], fc, fs, cfg.transformer,
-        k=k, max_k=max_k, deterministic=deterministic, rng=r_st)
-
+        k=k, max_k=max_k, deterministic=deterministic, rng=rng)
     out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
     return out.astype(jnp.float32)
 
