@@ -64,3 +64,14 @@ def test_trainer_resume(tmp_path):
     train(cfg2, exp_dir=str(tmp_path / "exp"), resume=True, log_every=1,
           dump_images=False)
     assert ckpt_lib.latest_step(str(tmp_path / "exp" / "checkpoints")) == 4
+
+
+def test_trainer_data_parallel(tmp_path):
+    """train() over a 2-device mesh: full plumbing incl. sharded batches."""
+    from mastermetastyletransfer_tpu.train.trainer import train
+
+    cfg = _cfg(tmp_path, "plain", 2)
+    cfg = cfg.replace(train=cfg.train.replace(num_devices=2))
+    metrics = train(cfg, exp_dir=str(tmp_path / "exp_dp"), log_every=1,
+                    dump_images=False)
+    assert np.isfinite(metrics["total"])
