@@ -1,0 +1,223 @@
+"""Minimal production-style serving endpoint for zero-shot stylization.
+
+The reference has no serving stack (SURVEY.md section 0); this provides the
+deployment surface the TPU build targets: a threaded HTTP server with
+micro-batching — concurrent requests within a window are stacked into one
+device batch (per-image work is independent, so batching is free throughput).
+
+    python -m mastermetastyletransfer_tpu.serve --checkpoint params.npz \
+        --port 8500 --size 512 --k 1
+
+    POST /stylize with multipart or two raw images:
+      curl -X POST localhost:8500/stylize \
+           -F content=@cat.jpg -F style=@mondrian.jpg -o out.jpg
+    GET /healthz -> {"status": "ok", ...}
+
+Stdlib-only HTTP (no external web framework in the image); JAX dispatch is
+single-threaded behind a lock with request coalescing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
+class StylizeService:
+    """Micro-batching wrapper over the jitted stylize fn."""
+
+    def __init__(self, params, cfg, *, size: int = 512, k: int = 1,
+                 max_batch: int = 8, window_ms: float = 5.0):
+        import jax
+
+        from mastermetastyletransfer_tpu.models.master import master_apply
+
+        self.params = params
+        self.cfg = cfg
+        self.size = size
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._q: "queue.Queue[Tuple[np.ndarray, np.ndarray, queue.Queue]]" = (
+            queue.Queue())
+
+        def stylize(p, c, s):
+            return master_apply(p, c, s, cfg, k=k, deterministic=True)
+
+        self._fn = jax.jit(stylize)
+        self._jax = jax
+        threading.Thread(target=self._loop, daemon=True).start()
+
+    def warmup(self):
+        # compile the exact micro-batch shape the loop dispatches
+        z = np.zeros((self.max_batch, self.size, self.size, 3), np.float32)
+        self._run(z, z)
+
+    def _run(self, content, style) -> np.ndarray:
+        out = self._fn(self.params, content, style)
+        return np.asarray(self._jax.device_get(out))
+
+    def _loop(self):
+        while True:
+            c0, s0, q0 = self._q.get()
+            batch = [(c0, s0, q0)]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(self._q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            contents = np.concatenate([b[0] for b in batch])
+            styles = np.concatenate([b[1] for b in batch])
+            # pad to max_batch so one shape compiles
+            n = contents.shape[0]
+            if n < self.max_batch:
+                pad = self.max_batch - n
+                contents = np.concatenate(
+                    [contents, np.zeros((pad,) + contents.shape[1:], np.float32)])
+                styles = np.concatenate(
+                    [styles, np.zeros((pad,) + styles.shape[1:], np.float32)])
+            try:
+                outs = self._run(contents, styles)
+                for i, (_, _, rq) in enumerate(batch):
+                    rq.put(("ok", outs[i]))
+            except Exception as e:  # surface device errors to the caller
+                for _, _, rq in batch:
+                    rq.put(("error", str(e)))
+
+    def stylize(self, content: np.ndarray, style: np.ndarray,
+                timeout: float = 60.0) -> np.ndarray:
+        rq: queue.Queue = queue.Queue()
+        self._q.put((content[None], style[None], rq))
+        status, payload = rq.get(timeout=timeout)
+        if status != "ok":
+            raise RuntimeError(payload)
+        return payload
+
+
+def _decode_to(size: int, data: bytes) -> np.ndarray:
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        im = im.convert("RGB").resize((size, size), Image.BILINEAR)
+        return np.asarray(im, np.float32) / 255.0
+
+
+def _encode_jpeg(img01: np.ndarray) -> bytes:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(np.clip(img01 * 255, 0, 255).astype(np.uint8)).save(
+        buf, "JPEG", quality=95)
+    return buf.getvalue()
+
+
+def _parse_multipart(body: bytes, boundary: bytes) -> dict:
+    """Tiny multipart/form-data parser (content + style file fields)."""
+    parts = {}
+    for chunk in body.split(b"--" + boundary):
+        if b"\r\n\r\n" not in chunk:
+            continue
+        head, _, payload = chunk.partition(b"\r\n\r\n")
+        payload = payload.rstrip(b"\r\n-")
+        for field in (b'name="content"', b'name="style"'):
+            if field in head:
+                parts[field.split(b'"')[1].decode()] = payload
+    return parts
+
+
+def make_handler(service: StylizeService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _reply(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                info = {"status": "ok", "size": service.size,
+                        "max_batch": service.max_batch}
+                self._reply(200, json.dumps(info).encode(), "application/json")
+            else:
+                self._reply(404, b"not found", "text/plain")
+
+        def do_POST(self):
+            if self.path != "/stylize":
+                self._reply(404, b"not found", "text/plain")
+                return
+            try:
+                length = int(self.headers["Content-Length"])
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" in ctype:
+                    boundary = ctype.split("boundary=")[1].encode()
+                    parts = _parse_multipart(body, boundary)
+                    content = _decode_to(service.size, parts["content"])
+                    style = _decode_to(service.size, parts["style"])
+                else:
+                    self._reply(400, b"expected multipart/form-data",
+                                "text/plain")
+                    return
+                out = service.stylize(content, style)
+                self._reply(200, _encode_jpeg(out), "image/jpeg")
+            except Exception as e:
+                self._reply(500, str(e).encode(), "text/plain")
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--checkpoint", default=None, help=".npz params export")
+    ap.add_argument("--port", type=int, default=8500)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--compute_dtype", default="bfloat16")
+    ap.add_argument("--use_pallas", action="store_true", default=True)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from mastermetastyletransfer_tpu.config import ModelConfig
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = ModelConfig(compute_dtype=args.compute_dtype)
+    if args.use_pallas:
+        cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
+                          transformer=cfg.transformer.replace(use_pallas=True))
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    if args.checkpoint:
+        params = ckpt_lib.load_params_npz(args.checkpoint, params)
+
+    service = StylizeService(params, cfg, size=args.size, k=args.k,
+                             max_batch=args.max_batch)
+    print(f"warming up ({args.size}x{args.size}, k={args.k})...")
+    service.warmup()
+    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
+    print(f"serving on :{args.port}  (POST /stylize, GET /healthz)")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,13 @@ def test_master_model_train_mode_stochastic():
     t2 = master_apply(params, c, s, cfg, k=1, deterministic=False,
                       rng=jax.random.PRNGKey(4))
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_swin_variants():
+    """swin_T / swin_S / swin_B configs all build and run
+    (reference: codes/utils.py:59-102 variants)."""
+    for variant, out_dim in [("swin_T", 192), ("swin_S", 192), ("swin_B", 256)]:
+        cfg = SwinConfig.for_variant(variant)
+        params = init_swin_backbone(jax.random.PRNGKey(0), cfg)
+        y = swin_backbone_apply(params, jnp.zeros((1, 64, 64, 3)), cfg)
+        assert y.shape == (1, 8, 8, out_dim), (variant, y.shape)

@@ -1,0 +1,84 @@
+"""Serving endpoint tests: micro-batching service + HTTP roundtrip."""
+
+import io
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+
+from mastermetastyletransfer_tpu.config import ModelConfig
+from mastermetastyletransfer_tpu.models import init_master_model
+from mastermetastyletransfer_tpu.serve import (
+    StylizeService, make_handler,
+)
+
+
+def _service(size=64, max_batch=2):
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    svc = StylizeService(params, cfg, size=size, k=1, max_batch=max_batch,
+                         window_ms=20.0)
+    svc.warmup()
+    return svc
+
+
+def test_service_single_and_concurrent():
+    svc = _service()
+    r = np.random.default_rng(0)
+    c = r.random((64, 64, 3)).astype(np.float32)
+    s = r.random((64, 64, 3)).astype(np.float32)
+    out = svc.stylize(c, s)
+    assert out.shape == (64, 64, 3) and np.isfinite(out).all()
+
+    # two concurrent requests coalesce into one batch
+    results = {}
+
+    def call(i):
+        results[i] = svc.stylize(c, s)
+
+    ts = [threading.Thread(target=call, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    np.testing.assert_allclose(results[0], results[1], atol=1e-5)
+
+
+def test_http_roundtrip():
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+
+    svc = _service()
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(svc))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as r:
+            assert b"ok" in r.read()
+
+        def jpeg_bytes(seed):
+            rr = np.random.default_rng(seed)
+            buf = io.BytesIO()
+            Image.fromarray(rr.integers(0, 255, (80, 80, 3), dtype=np.uint8)
+                            ).save(buf, "JPEG")
+            return buf.getvalue()
+
+        boundary = b"XBOUND"
+        body = b""
+        for name, data in [(b"content", jpeg_bytes(1)), (b"style", jpeg_bytes(2))]:
+            body += (b"--" + boundary + b"\r\n"
+                     b'Content-Disposition: form-data; name="' + name +
+                     b'"; filename="x.jpg"\r\n'
+                     b"Content-Type: image/jpeg\r\n\r\n" + data + b"\r\n")
+        body += b"--" + boundary + b"--\r\n"
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize", data=body,
+            headers={"Content-Type":
+                     f"multipart/form-data; boundary={boundary.decode()}"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            jpg = r.read()
+        out = Image.open(io.BytesIO(jpg))
+        assert out.size == (64, 64)
+    finally:
+        server.shutdown()
