@@ -249,6 +249,14 @@ class TrainConfig(_ConfigBase):
     seed: int = 42
     # Parallelism: data-parallel shards over this many devices (mesh axis "data").
     num_devices: int = 1
+    # Rematerialize the model forward in the backward pass (jax.checkpoint):
+    # trades ~1/3 more FLOPs for a much smaller activation footprint, enabling
+    # larger batches / resolutions per chip.
+    remat: bool = False
+    # Gradient accumulation: split each batch into this many sequential
+    # micro-batches and average their grads before the optimizer update
+    # (large effective batches beyond per-chip memory).
+    grad_accum_steps: int = 1
 
 
 @dataclass(frozen=True)

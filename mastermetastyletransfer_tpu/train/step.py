@@ -64,16 +64,56 @@ def _make_loss_and_grad(cfg: ExperimentConfig, vgg_params):
             transformer=model_cfg.transformer.replace(use_pallas=False))
     cfg = cfg.replace(model=model_cfg)
 
+    def forward(params, mc, ms, k, rng):
+        return master_apply(params, mc, ms, cfg.model, k=k, max_k=max_k,
+                            deterministic=False, rng=rng)
+
+    if cfg.train.remat:
+        # rematerialize the model forward in the backward pass: ~1/3 extra
+        # FLOPs for a far smaller activation footprint (static args stay
+        # static; k/rng are traced operands)
+        forward = jax.checkpoint(forward, static_argnums=())
+
     def loss_fn(params, content, style, k, rng):
         mc, ms = prepare_batch_for_model(content, style, cfg.data)
-        out = master_apply(params, mc, ms, cfg.model, k=k, max_k=max_k,
-                           deterministic=False, rng=rng)
+        out = forward(params, mc, ms, k, rng)
         lc, ls, lo = _loss_views(content, style, out, cfg.data)
         losses = perceptual_loss(vgg, lc, ls, lo, cfg.loss,
                                  lambda_value=cfg.train.lambda_style)
         return losses["total"], losses
 
-    return jax.value_and_grad(loss_fn, has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    accum = max(int(cfg.train.grad_accum_steps), 1)
+    if accum == 1:
+        return grad_fn
+
+    def accum_grad_fn(params, content, style, k, rng):
+        """Sequential micro-batches, grads averaged (batch size must divide
+        by grad_accum_steps; the loss is a mean so averaging is exact)."""
+        b = content.shape[0]
+        assert b % accum == 0, (b, accum)
+        mb = b // accum
+        c_mb = content.reshape((accum, mb) + content.shape[1:])
+        s_mb = style.reshape((accum, mb) + style.shape[1:])
+        rngs = jax.random.split(rng, accum)
+
+        def body(carry, xs):
+            g_acc, m_acc = carry
+            c, s, r = xs
+            (_, metrics), grads = grad_fn(params, c, s, k, r)
+            g_acc = jax.tree_util.tree_map(jnp.add, g_acc, grads)
+            m_acc = jax.tree_util.tree_map(jnp.add, m_acc, metrics)
+            return (g_acc, m_acc), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zero = jnp.zeros((), jnp.float32)
+        zero_m = {"content": zero, "style": zero, "total": zero}
+        (g, m), _ = jax.lax.scan(body, (zero_g, zero_m), (c_mb, s_mb, rngs))
+        g = jax.tree_util.tree_map(lambda x: x / accum, g)
+        m = jax.tree_util.tree_map(lambda x: x / accum, m)
+        return (m["total"], m), g
+
+    return accum_grad_fn
 
 
 def _sample_k(rng, max_layers: int):
