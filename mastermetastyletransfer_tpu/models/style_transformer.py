@@ -32,7 +32,7 @@ from mastermetastyletransfer_tpu.ops.mlp import (
     init_linear, init_mlp, linear, mlp_apply, stochastic_depth,
 )
 from mastermetastyletransfer_tpu.ops.norm import instance_norm, layer_norm
-from mastermetastyletransfer_tpu.ops.pallas_mlp import fused_ln_mlp_residual
+from mastermetastyletransfer_tpu.ops.pallas_mlp_vjp import ln_mlp_residual
 
 
 def _split(rng, n):
@@ -64,9 +64,20 @@ def init_style_swin_block(key, attn_cfg: AttentionConfig, *, use_norm: bool,
 
 def _fuse_mlp_ok(attn_cfg: AttentionConfig, deterministic: bool,
                  sd_prob: float) -> bool:
-    """The fused LN+MLP+residual kernel covers the eval path (stochastic
-    depth and dropout are identity)."""
-    return attn_cfg.use_pallas and deterministic
+    """The fused LN+MLP+residual kernel is differentiable (custom VJP,
+    ops/pallas_mlp_vjp.py) so it also serves training when MLP dropout is
+    off (the reference default); stochastic depth is re-applied outside via
+    _sd_lerp."""
+    return attn_cfg.use_pallas and (deterministic or attn_cfg.dropout == 0.0)
+
+
+def _sd_lerp(x, y, sd_prob, deterministic, rng):
+    """Stochastic depth over a fused residual output: the kernel computes
+    y = x + m; SD needs x + mask*m/keep = x + SD(y - x)."""
+    if deterministic or sd_prob == 0.0:
+        return y
+    return x + stochastic_depth(y - x, sd_prob, deterministic=deterministic,
+                                rng=rng)
 
 
 def _pallas_interpret() -> bool:
@@ -91,7 +102,7 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
 
     # Eval fast path: a full self-attention block (q=k=v, MLP-bearing) runs
     # as ONE fused Pallas kernel after norm1 (ops/attention.py).
-    if (_fuse_mlp_ok(attn_cfg, deterministic, sd_prob)
+    if (deterministic and attn_cfg.use_pallas
             and not exclude_mlp and q is k and k is v):
         from mastermetastyletransfer_tpu.ops.attention import (
             fused_self_attention_block,
@@ -106,8 +117,8 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
         x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
         if not exclude_mlp:
             if _fuse_mlp_ok(attn_cfg, deterministic, sd_prob):
-                x = fused_ln_mlp_residual(x, params["mlp"], params["norm2"],
-                                          interpret=_pallas_interpret())
+                y = ln_mlp_residual(x, params["mlp"], params["norm2"])
+                x = _sd_lerp(x, y, sd_prob, deterministic, r_sd2)
             else:
                 h = layer_norm(x, params["norm2"]["scale"], params["norm2"]["bias"])
                 m = mlp_apply(params["mlp"], h, dropout=attn_cfg.dropout,
@@ -119,8 +130,8 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
         x = x + stochastic_depth(a, sd_prob, deterministic=deterministic, rng=r_sd1)
         if not exclude_mlp:
             if _fuse_mlp_ok(attn_cfg, deterministic, sd_prob):
-                x = fused_ln_mlp_residual(x, params["mlp"], None,
-                                          interpret=_pallas_interpret())
+                y = ln_mlp_residual(x, params["mlp"], None)
+                x = _sd_lerp(x, y, sd_prob, deterministic, r_sd2)
             else:
                 m = mlp_apply(params["mlp"], x, dropout=attn_cfg.dropout,
                               deterministic=deterministic, rng=r_mlp)
@@ -170,8 +181,8 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
 
     def mlp_res(x, mlp_params, r_mlp, r_sd):
         if _fuse_mlp_ok(acfg, deterministic, sd):
-            return fused_ln_mlp_residual(x, mlp_params, None,
-                                         interpret=_pallas_interpret())
+            y = ln_mlp_residual(x, mlp_params, None)
+            return _sd_lerp(x, y, sd, deterministic, r_sd)
         m = mlp_apply(mlp_params, x, dropout=cfg.encoder_dropout,
                       deterministic=deterministic, rng=r_mlp)
         return x + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)
@@ -316,8 +327,8 @@ def style_decoder_apply(params: dict, Fcs: jnp.ndarray, Key: jnp.ndarray,
 
     Query = Query * sigma + mu
     if _fuse_mlp_ok(acfg, deterministic, sd):
-        return fused_ln_mlp_residual(Query, params["last_mlp"], None,
-                                     interpret=_pallas_interpret())
+        y = ln_mlp_residual(Query, params["last_mlp"], None)
+        return _sd_lerp(Query, y, sd, deterministic, r_sd)
     m = mlp_apply(params["last_mlp"], Query, dropout=cfg.decoder_dropout,
                   deterministic=deterministic, rng=r_mlp)
     Query = Query + stochastic_depth(m, sd, deterministic=deterministic, rng=r_sd)

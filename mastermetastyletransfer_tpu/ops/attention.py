@@ -150,10 +150,10 @@ def _apply_values(attn, v_win, proj_params, cfg: AttentionConfig):
 
 
 def _pallas_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
-    """Kernel covers the dropout-free path (dropout is a no-op at eval and 0.0
-    by default in every reference config)."""
-    return cfg.use_pallas and (
-        deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0))
+    """The fused attention kernels are forward-only (no VJP rule), so they
+    serve the eval path; training differentiates the XLA chain. (The fused
+    MLP kernel IS differentiable — ops/pallas_mlp_vjp.py — and trains.)"""
+    return cfg.use_pallas and deterministic
 
 
 def _pallas_interpret() -> bool:

@@ -54,7 +54,7 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[:] = (x + h).astype(out_ref.dtype)
 
 
-def _rows_tile(rows: int, c: int, hidden: int, budget_rows: int = 1024) -> int:
+def _rows_tile(rows: int, c: int, hidden: int, budget_rows: int = 512) -> int:
     """Row-tile size: multiple of 8 (fp32 sublane), <= budget."""
     t = min(budget_rows, rows)
     # shrink to a divisor-friendly multiple of 8

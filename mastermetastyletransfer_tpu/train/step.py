@@ -55,14 +55,10 @@ def _loss_views(content: jnp.ndarray, style: jnp.ndarray, output: jnp.ndarray,
 def _make_loss_and_grad(cfg: ExperimentConfig, vgg_params):
     vgg = jax.tree_util.tree_map(jax.lax.stop_gradient, vgg_params)
     max_k = cfg.train.max_layers
-    # The fused Pallas kernel is forward-only (no VJP rule yet); training
-    # always differentiates through the XLA attention path.
-    model_cfg = cfg.model
-    if model_cfg.swin.use_pallas or model_cfg.transformer.use_pallas:
-        model_cfg = model_cfg.replace(
-            swin=model_cfg.swin.replace(use_pallas=False),
-            transformer=model_cfg.transformer.replace(use_pallas=False))
-    cfg = cfg.replace(model=model_cfg)
+    # Kernel policy under grad: the fused ATTENTION kernels are forward-only
+    # and auto-fall back to the XLA chain when deterministic=False
+    # (ops/attention.py:_pallas_ok); the fused LN+MLP+residual kernel has a
+    # custom VJP (ops/pallas_mlp_vjp.py) and trains as-is.
 
     def forward(params, mc, ms, k, rng):
         return master_apply(params, mc, ms, cfg.model, k=k, max_k=max_k,
