@@ -150,9 +150,15 @@ def _apply_values(attn, v_win, proj_params, cfg: AttentionConfig):
 
 
 def _pallas_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
-    """The fused attention kernels are forward-only (no VJP rule), so they
-    serve the eval path; training differentiates the XLA chain. (The fused
-    MLP kernel IS differentiable — ops/pallas_mlp_vjp.py — and trains.)"""
+    """Single-V fused attention has a custom VJP (ops/pallas_attention_vjp)
+    so it serves training too when attention dropout is off (the reference
+    default); the dual-V / two-V / whole-block kernels are eval-only."""
+    return cfg.use_pallas and (
+        deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0))
+
+
+def _pallas_eval_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
+    """Eval-only fused paths (no VJP rule)."""
     return cfg.use_pallas and deterministic
 
 
@@ -184,20 +190,21 @@ def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
     (qw, kw, vw), geom = _prepare([q_in, k_in, v_in], cfg.window_size, cfg.shift_size)
 
     if _pallas_ok(cfg, deterministic):
-        from mastermetastyletransfer_tpu.ops.pallas_attention import (
-            fused_window_attention,
+        from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+            window_attention,
         )
         wh, ww = cfg.window_size
         bias = relative_position_bias(params["rel_bias_table"], wh, ww)
-        mask = None
+        mask_key = None
         if geom["sh"] or geom["sw"]:
-            # keep as numpy: the kernel folds it into a static constant
-            mask = shift_attention_mask(
+            # hashable static mask (the kernel folds it into a constant)
+            m = shift_attention_mask(
                 geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+            mask_key = (m.shape, tuple(m.ravel().tolist()))
         b = geom["b"]
-        out4 = fused_window_attention(
+        out4 = window_attention(
             params, _win4(qw, b), _win4(kw, b), _win4(vw, b),
-            bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+            bias, mask_key, cfg.num_heads)
         x = out4.reshape(-1, out4.shape[2], out4.shape[3])
         return _finalize(x, geom, cfg.window_size)
     r1 = r2 = None
@@ -335,7 +342,7 @@ def shifted_window_attention_dual_value(
         bn, n, c = k.shape
         k = _in(k.reshape(geom["b"], (bn // geom["b"]) * n, c), "k").reshape(bn, n, c)
 
-    if _pallas_ok(cfg, deterministic):
+    if _pallas_eval_ok(cfg, deterministic):
         from mastermetastyletransfer_tpu.ops.pallas_attention import (
             fused_window_attention_dual,
         )

@@ -1,0 +1,266 @@
+"""Custom VJP for the fused single-V window-attention kernel.
+
+Forward: ops/pallas_attention.fused_window_attention (projections + bias +
+mask + softmax + value matmul + output projection in one pass). Backward:
+a Pallas kernel over the same (B, nT) tile grid that recomputes the forward
+intermediates flash-style (residuals = the raw window inputs only) and emits
+input grads per tile plus weight/bias/relative-bias grads accumulated across
+sequential grid steps.
+
+Math per head h (S = (q*s) k^T + bias + mask, P = softmax(S), o = P v,
+out = sum_h o_h Wp_h + bp):
+    dO_h = G Wp_h^T ; dWp_h = o_h^T G ; dbp = sum G
+    dP = dO_h v_h^T ; dv_h = P^T dO_h
+    dS = P * (dP - rowsum(dP * P))           (softmax backward)
+    dq_h = s * dS k_h ; dk_h = s * dS^T q_h ; dbias_h += dS
+    dq/dk/dv lanes concatenate across heads; then
+    dX = d{q,k,v} W^T ; dW = X^T d{q,k,v} ; db = sum d{q,k,v}
+
+The relative-position bias enters as the block-diagonal expanded (H, TWN,
+TWN) tensor; its grad is accumulated in that form and contracted back to
+(H, N, N) outside the kernel (the gather into the learned table is XLA's
+autodiff, outside the custom_vjp boundary).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mastermetastyletransfer_tpu.ops.pallas_attention import (
+    _bias_big, _expand_mask, _geometry, _linb, _linw, _pad_windows,
+    _specs, _tiles, _untile, fused_window_attention,
+)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
+                wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wp_ref,
+                bias_ref, mask_ref,
+                dq_ref, dk_ref, dv_ref,
+                dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
+                dwp_ref, dbp_ref, dbias_ref,
+                *, heads: int, scale: float):
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    first = jnp.logical_and(i == 0, j == 0)
+    dt = q_ref.dtype
+
+    x_q = q_ref[0, 0]
+    x_k = k_ref[0, 0]
+    x_v = v_ref[0, 0]
+    g = g_ref[0, 0].astype(f32)
+    twn, c = g.shape
+    dh = c // heads
+
+    def proj(x, w_ref, b_ref):
+        return jnp.dot(x, w_ref[:], preferred_element_type=f32) + b_ref[0].astype(f32)
+
+    q = proj(x_q, wq_ref, bq_ref)
+    k = proj(x_k, wk_ref, bk_ref)
+    v = proj(x_v, wv_ref, bv_ref)
+    qs = (q * scale).astype(dt)
+    kc = k.astype(dt)
+    vc = v.astype(dt)
+    gc = g.astype(dt)
+    wp = wp_ref[:].astype(dt)
+    mask = mask_ref[0].astype(f32)
+
+    dq_parts = []
+    dk_parts = []
+    dv_parts = []
+    dbias_rows = []
+    dwp_rows = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(qs[:, sl], kc[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        s = s + bias_ref[h].astype(f32) + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)            # (TWN, TWN)
+        pc = p.astype(dt)
+
+        do_h = jnp.dot(gc, wp[sl, :].T, preferred_element_type=f32)  # (TWN, dh)
+        o_h = jnp.dot(pc, vc[:, sl], preferred_element_type=f32)     # (TWN, dh)
+        dwp_rows.append(jnp.dot(o_h.astype(dt).T, gc,
+                                preferred_element_type=f32))          # (dh, C)
+
+        do_c = do_h.astype(dt)
+        dp = jax.lax.dot_general(do_c, vc[:, sl], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=f32)          # (TWN, TWN)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_rows.append(ds)
+        ds_c = ds.astype(dt)
+
+        dq_parts.append(scale * jnp.dot(ds_c, kc[:, sl],
+                                        preferred_element_type=f32))
+        # dk_h = scale * dS^T q_h (q unscaled)
+        dk_parts.append(scale * jax.lax.dot_general(
+            ds_c, q.astype(dt)[:, sl],
+            (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dv_parts.append(jax.lax.dot_general(
+            pc, do_c, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+
+    dq = jnp.concatenate(dq_parts, axis=-1)                   # (TWN, C)
+    dk = jnp.concatenate(dk_parts, axis=-1)
+    dv = jnp.concatenate(dv_parts, axis=-1)
+    dwp_c = jnp.concatenate(dwp_rows, axis=0)                 # (C, C)
+    dbias_c = jnp.stack(dbias_rows)                           # (H, TWN, TWN)
+
+    # back through the projections
+    dxq = jnp.dot(dq.astype(dt), wq_ref[:].T.astype(dt), preferred_element_type=f32)
+    dxk = jnp.dot(dk.astype(dt), wk_ref[:].T.astype(dt), preferred_element_type=f32)
+    dxv = jnp.dot(dv.astype(dt), wv_ref[:].T.astype(dt), preferred_element_type=f32)
+    dq_ref[0, 0] = dxq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dxk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dxv.astype(dv_ref.dtype)
+
+    dwq_c = jnp.dot(x_q.T, dq.astype(dt), preferred_element_type=f32)
+    dwk_c = jnp.dot(x_k.T, dk.astype(dt), preferred_element_type=f32)
+    dwv_c = jnp.dot(x_v.T, dv.astype(dt), preferred_element_type=f32)
+    dbq_c = jnp.sum(dq, axis=0, keepdims=True)
+    dbk_c = jnp.sum(dk, axis=0, keepdims=True)
+    dbv_c = jnp.sum(dv, axis=0, keepdims=True)
+    dbp_c = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        dwq_ref[:] = dwq_c
+        dbq_ref[:] = dbq_c
+        dwk_ref[:] = dwk_c
+        dbk_ref[:] = dbk_c
+        dwv_ref[:] = dwv_c
+        dbv_ref[:] = dbv_c
+        dwp_ref[:] = dwp_c
+        dbp_ref[:] = dbp_c
+        dbias_ref[:] = dbias_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dwq_ref[:] += dwq_c
+        dbq_ref[:] += dbq_c
+        dwk_ref[:] += dwk_c
+        dbk_ref[:] += dbk_c
+        dwv_ref[:] += dwv_c
+        dbv_ref[:] += dbv_c
+        dwp_ref[:] += dwp_c
+        dbp_ref[:] += dbp_c
+        dbias_ref[:] += dbias_c
+
+
+def _auto_interpret(interpret) -> bool:
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def window_attention(params, q, k, v, bias, mask_key, heads: int,
+                     interpret=None):
+    """Differentiable fused window attention. Same numerics as
+    fused_window_attention; mask_key is the hashable numpy mask (or None) so
+    it stays out of the differentiable arguments."""
+    mask = None if mask_key is None else np.asarray(
+        mask_key[1], np.float32).reshape(mask_key[0])
+    return fused_window_attention(params, q, k, v, bias, mask, heads,
+                                  interpret=_auto_interpret(interpret))
+
+
+def _fwd(params, q, k, v, bias, mask_key, heads, interpret):
+    mask = None if mask_key is None else np.asarray(
+        mask_key[1], np.float32).reshape(mask_key[0])
+    out = fused_window_attention(params, q, k, v, bias, mask, heads,
+                                 interpret=_auto_interpret(interpret))
+    return out, (params, q, k, v, bias)
+
+
+def _bwd(mask_key, heads, interpret, res, g):
+    params, q, k, v, bias = res
+    interpret = _auto_interpret(interpret)
+    b, nw, n, c = q.shape
+    tw, nw_pad, nt, twn = _geometry(nw, n, 256)
+    dh = c // heads
+
+    mask = None if mask_key is None else np.asarray(
+        mask_key[1], np.float32).reshape(mask_key[0])
+    q4, k4, v4 = (_tiles(_pad_windows(x, nw_pad), nt) for x in (q, k, v))
+    g4 = _tiles(_pad_windows(g.astype(q.dtype), nw_pad), nt)
+    bias_b = _bias_big(bias, tw)
+    mask_b = _expand_mask(mask, nt, tw, n, nw)
+
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    f32 = jnp.float32
+    acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    acc3 = pl.BlockSpec((heads, twn, twn), lambda i, j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_bwd_kernel, heads=heads,
+                             scale=(c // heads) ** -0.5)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, nt),
+        in_specs=[win, win, win, win,
+                  wmat, wvec, wmat, wvec, wmat, wvec, wmat,
+                  rbias, mspec],
+        out_specs=(win, win, win,
+                   acc2((c, c)), acc2((1, c)), acc2((c, c)), acc2((1, c)),
+                   acc2((c, c)), acc2((1, c)), acc2((c, c)), acc2((1, c)),
+                   acc3),
+        out_shape=(jax.ShapeDtypeStruct((b, nt, twn, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, nt, twn, c), q.dtype),
+                   jax.ShapeDtypeStruct((b, nt, twn, c), q.dtype),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((heads, twn, twn), f32)),
+        interpret=interpret,
+    )(q4, k4, v4, g4,
+      _linw(params, "wq"), _linb(params, "wq", c, q.dtype),
+      _linw(params, "wk"), _linb(params, "wk", c, q.dtype),
+      _linw(params, "wv"), _linb(params, "wv", c, q.dtype),
+      _linw(params, "proj"),
+      bias_b, mask_b)
+
+    dq4, dk4, dv4 = outs[0], outs[1], outs[2]
+    dwq, dbq, dwk, dbk, dwv, dbv, dwp, dbp = outs[3:11]
+    dbias_big = outs[11]
+
+    dq = _untile(dq4, nw, n)
+    dk = _untile(dk4, nw, n)
+    dv = _untile(dv4, nw, n)
+    # contract the block-diagonal bias grad back to (H, N, N): the bias was
+    # expanded as block_diag(tw copies), so its grad is the sum over the
+    # diagonal (t == t) blocks
+    dbb = dbias_big.reshape(heads, tw, n, tw, n)
+    dbias = jnp.einsum("htmtn->hmn", dbb).astype(bias.dtype)
+
+    d_params = {
+        "wq": {"kernel": dwq.astype(jnp.float32)},
+        "wk": {"kernel": dwk.astype(jnp.float32)},
+        "wv": {"kernel": dwv.astype(jnp.float32)},
+        "proj": {"kernel": dwp.astype(jnp.float32)},
+        # rel_bias_table grad flows through the gather OUTSIDE this vjp;
+        # within this function the table is unused directly
+    }
+    for name, db in (("wq", dbq), ("wk", dbk), ("wv", dbv), ("proj", dbp)):
+        if "bias" in params[name]:
+            d_params[name]["bias"] = db[0].astype(jnp.float32)
+    # params pytree must match structure: include zero grad for the table
+    d_params["rel_bias_table"] = jnp.zeros_like(params["rel_bias_table"])
+
+    return d_params, dq, dk, dv, dbias
+
+
+window_attention.defvjp(_fwd, _bwd)

@@ -245,6 +245,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=1)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true",
+                   help="fused Pallas kernels (differentiable attention+MLP)")
     p.add_argument("--swin_variant", default="swin_B",
                    choices=["swin_T", "swin_S", "swin_B"])
     p.add_argument("--unfreeze_swin", action="store_true")
@@ -257,9 +259,14 @@ def build_argparser() -> argparse.ArgumentParser:
 def config_from_args(args) -> ExperimentConfig:
     from mastermetastyletransfer_tpu.config import SwinConfig
 
+    swin = SwinConfig.for_variant(args.swin_variant)
+    model = ModelConfig(swin=swin, compute_dtype=args.compute_dtype)
+    if args.use_pallas:
+        model = model.replace(
+            swin=model.swin.replace(use_pallas=True),
+            transformer=model.transformer.replace(use_pallas=True))
     return ExperimentConfig(
-        model=ModelConfig(swin=SwinConfig.for_variant(args.swin_variant),
-                          compute_dtype=args.compute_dtype),
+        model=model,
         loss=LossConfig(default_lambda_value=args.lambda_style),
         data=DataConfig(content_dir=args.content_dir, style_dir=args.style_dir,
                         batch_size_content=args.batch_size,

@@ -77,3 +77,38 @@ def test_train_step_with_pallas_mlp():
         for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
                         jax.tree_util.tree_leaves(old)))
     assert moved
+
+
+@pytest.mark.parametrize("shift", [(0, 0), (4, 4)])
+def test_window_attention_grads_match_xla(rng, shift):
+    """jax.grad through the Pallas attention (custom VJP) must match the XLA
+    chain's autodiff for params and all three inputs."""
+    from mastermetastyletransfer_tpu.config import AttentionConfig
+    from mastermetastyletransfer_tpu.ops.attention import (
+        init_window_attention, shifted_window_attention,
+    )
+
+    cfg = AttentionConfig(dim=64, num_heads=4, window_size=(7, 7),
+                          shift_size=shift)
+    cfg_p = cfg.replace(use_pallas=True)
+    params = init_window_attention(jax.random.PRNGKey(0), cfg)
+    q = jnp.asarray(rng.standard_normal((2, 18, 20, 64)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 18, 20, 64)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 18, 20, 64)).astype(np.float32))
+
+    def loss(c):
+        def f(params, q, k, v):
+            out = shifted_window_attention(params, q, k, v, c,
+                                           deterministic=False)
+            return jnp.sum(jnp.sin(out))
+        return f
+
+    vp, gp = jax.value_and_grad(loss(cfg_p), argnums=(0, 1, 2, 3))(
+        params, q, k, v)
+    vr, gr = jax.value_and_grad(loss(cfg), argnums=(0, 1, 2, 3))(
+        params, q, k, v)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
