@@ -192,7 +192,7 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
         weights — on the Pallas eval path the softmax runs ONCE with two
         value streams (the reference computes it twice,
         codes/style_transformer.py:867-882)."""
-        if acfg.use_pallas and deterministic:
+        if _fuse_mlp_ok(acfg, deterministic, sd):
             from mastermetastyletransfer_tpu.ops.attention import (
                 shifted_window_attention_two_v,
             )
@@ -205,7 +205,9 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
             else:
                 qk, v1, v2 = Key, Scale, Shift
             a1, a2 = shifted_window_attention_two_v(attn, qk, qk, v1, v2, acfg)
-            return Scale + a1, Shift + a2
+            r1, r2 = _split(r_a, 2) if r_a is not None else (None, None)
+            return (Scale + stochastic_depth(a1, sd, deterministic=deterministic, rng=r1),
+                    Shift + stochastic_depth(a2, sd, deterministic=deterministic, rng=r2))
         return (block(Key, Key, Scale, False, r_a),
                 block(Key, Key, Shift, False, r_b))
 

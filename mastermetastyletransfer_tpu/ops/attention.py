@@ -265,8 +265,8 @@ def shifted_window_attention_two_v(params: dict, q_in: jnp.ndarray,
     Pallas fast path only (eval); callers fall back to two
     shifted_window_attention calls otherwise.
     """
-    from mastermetastyletransfer_tpu.ops.pallas_attention import (
-        fused_window_attention_dual,
+    from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+        window_attention_dual,
     )
     # NOTE: projection must follow the zero-pad (padded tokens carry the
     # qkv bias and participate as keys in border windows — the reference
@@ -277,16 +277,17 @@ def shifted_window_attention_two_v(params: dict, q_in: jnp.ndarray,
     kw = linear(params["wk"], kw)
     wh, ww = cfg.window_size
     bias = relative_position_bias(params["rel_bias_table"], wh, ww)
-    mask = None
+    mask_key = None
     if geom["sh"] or geom["sw"]:
-        mask = shift_attention_mask(
+        m = shift_attention_mask(
             geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+        mask_key = (m.shape, tuple(m.ravel().tolist()))
     b = geom["b"]
     shared = {"wv_scale": params["wv"], "wv_shift": params["wv"],
               "proj": params["proj"]}
-    o1, o2 = fused_window_attention_dual(
+    o1, o2 = window_attention_dual(
         shared, _win4(qw, b), _win4(kw, b), _win4(v1w, b), _win4(v2w, b),
-        bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+        bias, mask_key, cfg.num_heads)
     out1 = _finalize(o1.reshape(-1, o1.shape[2], o1.shape[3]), geom, cfg.window_size)
     out2 = _finalize(o2.reshape(-1, o2.shape[2], o2.shape[3]), geom, cfg.window_size)
     return out1, out2
@@ -342,21 +343,21 @@ def shifted_window_attention_dual_value(
         bn, n, c = k.shape
         k = _in(k.reshape(geom["b"], (bn // geom["b"]) * n, c), "k").reshape(bn, n, c)
 
-    if _pallas_eval_ok(cfg, deterministic):
-        from mastermetastyletransfer_tpu.ops.pallas_attention import (
-            fused_window_attention_dual,
+    if _pallas_ok(cfg, deterministic):
+        from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+            window_attention_dual,
         )
         wh, ww = cfg.window_size
         bias = relative_position_bias(params["rel_bias_table"], wh, ww)
-        mask = None
+        mask_key = None
         if geom["sh"] or geom["sw"]:
-            # keep as numpy: the kernel folds it into a static constant
-            mask = shift_attention_mask(
+            m = shift_attention_mask(
                 geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+            mask_key = (m.shape, tuple(m.ravel().tolist()))
         b = geom["b"]
-        s4, m4 = fused_window_attention_dual(
+        s4, m4 = window_attention_dual(
             params, _win4(q, b), _win4(k, b), _win4(vsw, b), _win4(vshw, b),
-            bias, mask, cfg.num_heads, interpret=_pallas_interpret())
+            bias, mask_key, cfg.num_heads)
         sigma = _finalize(s4.reshape(-1, s4.shape[2], s4.shape[3]),
                           geom, cfg.window_size)
         mu = _finalize(m4.reshape(-1, m4.shape[2], m4.shape[3]),

@@ -264,3 +264,226 @@ def _bwd(mask_key, heads, interpret, res, g):
 
 
 window_attention.defvjp(_fwd, _bwd)
+
+
+def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
+                     ws_ref, bs_ref, wsh_ref, bsh_ref, wp_ref,
+                     bias_ref, mask_ref,
+                     dq_ref, dk_ref, dvs_ref, dvh_ref,
+                     dws_ref, dbs_ref, dwsh_ref, dbsh_ref,
+                     dwp_ref, dbp_ref, dbias_ref,
+                     *, heads: int, scale: float):
+    """Backward for the dual-value kernel: one softmax, two value streams
+    (sigma from v_scale, mu from v_shift) through the SHARED output
+    projection. q/k arrive pre-projected, so their grads flow straight out;
+    v_scale/v_shift projections happen in-kernel and get weight grads."""
+    f32 = jnp.float32
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    first = jnp.logical_and(i == 0, j == 0)
+    dt = vs_ref.dtype
+
+    q = q_ref[0, 0].astype(f32)
+    k = k_ref[0, 0].astype(f32)
+    x_vs = vs_ref[0, 0]
+    x_vh = vh_ref[0, 0]
+    gs = gs_ref[0, 0].astype(f32)
+    gh = gh_ref[0, 0].astype(f32)
+    twn, c = q.shape
+    dh = c // heads
+
+    def proj(x, w_ref, b_ref):
+        return jnp.dot(x, w_ref[:], preferred_element_type=f32) + b_ref[0].astype(f32)
+
+    v_s = proj(x_vs, ws_ref, bs_ref)
+    v_h = proj(x_vh, wsh_ref, bsh_ref)
+    qs = (q * scale).astype(dt)
+    kc = k.astype(dt)
+    vsc = v_s.astype(dt)
+    vhc = v_h.astype(dt)
+    gsc = gs.astype(dt)
+    ghc = gh.astype(dt)
+    wp = wp_ref[:].astype(dt)
+    mask = mask_ref[0].astype(f32)
+
+    dq_parts, dk_parts, dvs_parts, dvh_parts = [], [], [], []
+    dwp_rows, dbias_rows = [], []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(qs[:, sl], kc[:, sl], (((1,), (1,)), ((), ())),
+                                preferred_element_type=f32)
+        s = s + bias_ref[h].astype(f32) + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pc = p.astype(dt)
+
+        do_s = jnp.dot(gsc, wp[sl, :].T, preferred_element_type=f32)
+        do_h = jnp.dot(ghc, wp[sl, :].T, preferred_element_type=f32)
+        o_s = jnp.dot(pc, vsc[:, sl], preferred_element_type=f32)
+        o_h = jnp.dot(pc, vhc[:, sl], preferred_element_type=f32)
+        # shared projection: dWp_h = o_s^T gs + o_h^T gh
+        dwp_rows.append(
+            jnp.dot(o_s.astype(dt).T, gsc, preferred_element_type=f32)
+            + jnp.dot(o_h.astype(dt).T, ghc, preferred_element_type=f32))
+
+        do_sc = do_s.astype(dt)
+        do_hc = do_h.astype(dt)
+        dp = (jax.lax.dot_general(do_sc, vsc[:, sl], (((1,), (1,)), ((), ())),
+                                  preferred_element_type=f32)
+              + jax.lax.dot_general(do_hc, vhc[:, sl], (((1,), (1,)), ((), ())),
+                                    preferred_element_type=f32))
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dbias_rows.append(ds)
+        ds_c = ds.astype(dt)
+
+        dq_parts.append(scale * jnp.dot(ds_c, kc[:, sl],
+                                        preferred_element_type=f32))
+        dk_parts.append(scale * jax.lax.dot_general(
+            ds_c, q.astype(dt)[:, sl], (((0,), (0,)), ((), ())),
+            preferred_element_type=f32))
+        dvs_parts.append(jax.lax.dot_general(
+            pc, do_sc, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dvh_parts.append(jax.lax.dot_general(
+            pc, do_hc, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+
+    dq = jnp.concatenate(dq_parts, axis=-1)
+    dk = jnp.concatenate(dk_parts, axis=-1)
+    dvs = jnp.concatenate(dvs_parts, axis=-1)
+    dvh = jnp.concatenate(dvh_parts, axis=-1)
+    dwp_c = jnp.concatenate(dwp_rows, axis=0)
+    dbias_c = jnp.stack(dbias_rows)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dvs_ref[0, 0] = jnp.dot(dvs.astype(dt), ws_ref[:].T.astype(dt),
+                            preferred_element_type=f32).astype(dvs_ref.dtype)
+    dvh_ref[0, 0] = jnp.dot(dvh.astype(dt), wsh_ref[:].T.astype(dt),
+                            preferred_element_type=f32).astype(dvh_ref.dtype)
+
+    dws_c = jnp.dot(x_vs.T, dvs.astype(dt), preferred_element_type=f32)
+    dwsh_c = jnp.dot(x_vh.T, dvh.astype(dt), preferred_element_type=f32)
+    dbs_c = jnp.sum(dvs, axis=0, keepdims=True)
+    dbsh_c = jnp.sum(dvh, axis=0, keepdims=True)
+    dbp_c = jnp.sum(gs + gh, axis=0, keepdims=True)
+
+    @pl.when(first)
+    def _():
+        dws_ref[:] = dws_c
+        dbs_ref[:] = dbs_c
+        dwsh_ref[:] = dwsh_c
+        dbsh_ref[:] = dbsh_c
+        dwp_ref[:] = dwp_c
+        dbp_ref[:] = dbp_c
+        dbias_ref[:] = dbias_c
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dws_ref[:] += dws_c
+        dbs_ref[:] += dbs_c
+        dwsh_ref[:] += dwsh_c
+        dbsh_ref[:] += dbsh_c
+        dwp_ref[:] += dwp_c
+        dbp_ref[:] += dbp_c
+        dbias_ref[:] += dbias_c
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def window_attention_dual(params, q, k, v_scale, v_shift, bias, mask_key,
+                          heads: int, interpret=None):
+    """Differentiable fused dual-value attention (q/k pre-projected; sigma
+    and mu streams share one softmax and the output projection)."""
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_window_attention_dual,
+    )
+    mask = None if mask_key is None else np.asarray(
+        mask_key[1], np.float32).reshape(mask_key[0])
+    return fused_window_attention_dual(
+        params, q, k, v_scale, v_shift, bias, mask, heads,
+        interpret=_auto_interpret(interpret))
+
+
+def _fwd_dual(params, q, k, v_scale, v_shift, bias, mask_key, heads, interpret):
+    out = window_attention_dual(params, q, k, v_scale, v_shift, bias,
+                                mask_key, heads, interpret)
+    return out, (params, q, k, v_scale, v_shift, bias)
+
+
+def _bwd_dual(mask_key, heads, interpret, res, g):
+    params, q, k, v_scale, v_shift, bias = res
+    g_sigma, g_mu = g
+    interpret = _auto_interpret(interpret)
+    b, nw, n, c = q.shape
+    tw, nw_pad, nt, twn = _geometry(nw, n, 256)
+
+    mask = None if mask_key is None else np.asarray(
+        mask_key[1], np.float32).reshape(mask_key[0])
+    dt = v_scale.dtype
+    tiles = [_tiles(_pad_windows(x.astype(dt), nw_pad), nt)
+             for x in (q, k, v_scale, v_shift, g_sigma, g_mu)]
+    bias_b = _bias_big(bias, tw)
+    mask_b = _expand_mask(mask, nt, tw, n, nw)
+
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    f32 = jnp.float32
+    acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
+                                      memory_space=pltpu.VMEM)
+    acc3 = pl.BlockSpec((heads, twn, twn), lambda i, j: (0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    kern = functools.partial(_bwd_kernel_dual, heads=heads,
+                             scale=(c // heads) ** -0.5)
+    outs = pl.pallas_call(
+        kern,
+        grid=(b, nt),
+        in_specs=[win, win, win, win, win, win,
+                  wmat, wvec, wmat, wvec, wmat,
+                  rbias, mspec],
+        out_specs=(win, win, win, win,
+                   acc2((c, c)), acc2((1, c)), acc2((c, c)), acc2((1, c)),
+                   acc2((c, c)), acc2((1, c)), acc3),
+        out_shape=(jax.ShapeDtypeStruct((b, nt, twn, c), dt),
+                   jax.ShapeDtypeStruct((b, nt, twn, c), dt),
+                   jax.ShapeDtypeStruct((b, nt, twn, c), dt),
+                   jax.ShapeDtypeStruct((b, nt, twn, c), dt),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((c, c), f32),
+                   jax.ShapeDtypeStruct((1, c), f32),
+                   jax.ShapeDtypeStruct((heads, twn, twn), f32)),
+        interpret=interpret,
+    )(*tiles,
+      _linw(params, "wv_scale"), _linb(params, "wv_scale", c, dt),
+      _linw(params, "wv_shift"), _linb(params, "wv_shift", c, dt),
+      _linw(params, "proj"),
+      bias_b, mask_b)
+
+    dq = _untile(outs[0], nw, n).astype(q.dtype)
+    dk = _untile(outs[1], nw, n).astype(k.dtype)
+    dvs = _untile(outs[2], nw, n).astype(v_scale.dtype)
+    dvh = _untile(outs[3], nw, n).astype(v_shift.dtype)
+    dws, dbs, dwsh, dbsh, dwp, dbp = outs[4:10]
+    dbb = outs[10].reshape(heads, tw, n, tw, n)
+    dbias = jnp.einsum("htmtn->hmn", dbb).astype(bias.dtype)
+
+    d_params = {
+        "wv_scale": {"kernel": dws.astype(jnp.float32)},
+        "wv_shift": {"kernel": dwsh.astype(jnp.float32)},
+        "proj": {"kernel": dwp.astype(jnp.float32)},
+    }
+    for name, db in (("wv_scale", dbs), ("wv_shift", dbsh), ("proj", dbp)):
+        if "bias" in params[name]:
+            d_params[name]["bias"] = db[0].astype(jnp.float32)
+    # zero grads for params this kernel doesn't touch (wk used outside, table)
+    for name in params:
+        if name not in d_params:
+            d_params[name] = jax.tree_util.tree_map(jnp.zeros_like, params[name])
+        else:
+            for sub in params[name]:
+                if sub not in d_params[name]:
+                    d_params[name][sub] = jnp.zeros_like(params[name][sub])
+    return d_params, dq, dk, dvs, dvh, dbias
+
+
+window_attention_dual.defvjp(_fwd_dual, _bwd_dual)

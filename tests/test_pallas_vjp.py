@@ -112,3 +112,36 @@ def test_window_attention_grads_match_xla(rng, shift):
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_dual_value_attention_grads_match_xla(rng):
+    """jax.grad through the dual-V Pallas kernel (sigma+mu streams, shared
+    projection) must match the XLA chain's autodiff."""
+    from mastermetastyletransfer_tpu.config import AttentionConfig
+    from mastermetastyletransfer_tpu.ops.attention import (
+        init_dual_value_window_attention, shifted_window_attention_dual_value,
+    )
+
+    cfg = AttentionConfig(dim=64, num_heads=4, window_size=(7, 7),
+                          shift_size=(4, 4))
+    cfg_p = cfg.replace(use_pallas=True)
+    params = init_dual_value_window_attention(jax.random.PRNGKey(0), cfg)
+    xs = [jnp.asarray(rng.standard_normal((1, 18, 20, 64)).astype(np.float32))
+          for _ in range(4)]
+
+    def loss(c):
+        def f(params, q, k, v1, v2):
+            s, m = shifted_window_attention_dual_value(
+                params, q, k, v1, v2, c, deterministic=False)
+            return jnp.sum(jnp.sin(s)) + jnp.sum(jnp.cos(m))
+        return f
+
+    vp, gp = jax.value_and_grad(loss(cfg_p), argnums=(0, 1, 2, 3, 4))(
+        params, *xs)
+    vr, gr = jax.value_and_grad(loss(cfg), argnums=(0, 1, 2, 3, 4))(
+        params, *xs)
+    np.testing.assert_allclose(float(vp), float(vr), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4)
