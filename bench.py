@@ -6,6 +6,14 @@ Baseline = the north-star target of 500 imgs/sec/chip at 512^2 on TPU v5e
 
 Forward = frozen Swin-B first-2-stages encoder on content+style ->
 StyleTransformer (k=1) -> CNN decoder, bfloat16 compute, batched.
+
+Extra modes (each prints its own JSON line, also single-line):
+  --mode latency   p50/p90 single-pair (batch-1) end-to-end latency,
+                   including host<->device transfer through the tunnel
+                   (BASELINE.md tracked metric "p50 single-pair latency").
+  --mode train     jitted train-step throughput (imgs/sec) at the reference
+                   training config (256^2 crops, random k in [1,4], VGG loss,
+                   Adam) — BASELINE config #3.
 """
 
 from __future__ import annotations
@@ -22,27 +30,28 @@ from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--k", type=int, default=1)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--dtype", type=str, default="bfloat16")
-    ap.add_argument("--pallas", dest="pallas", action="store_true", default=True,
-                    help="use the fused Pallas kernels (default)")
-    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
-    args = ap.parse_args()
+def _sync(x):
+    # NOTE: through the remote-TPU tunnel block_until_ready() returns without
+    # waiting; only a host transfer (device_get) forces completion. Fetch one
+    # scalar to sync (device execution is FIFO, so this drains the queue).
+    jax.device_get(jax.tree_util.tree_leaves(x)[0].ravel()[0])
 
+
+def _build_cfg(args):
     from mastermetastyletransfer_tpu.config import ModelConfig
-    from mastermetastyletransfer_tpu.models import init_master_model
-    from mastermetastyletransfer_tpu.models.master import master_apply
 
     cfg = ModelConfig(compute_dtype=args.dtype)
     if args.pallas:
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
                           transformer=cfg.transformer.replace(use_pallas=True))
+    return cfg
+
+
+def bench_infer(args):
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.models.master import master_apply
+
+    cfg = _build_cfg(args)
     params = init_master_model(jax.random.PRNGKey(0), cfg)
 
     @jax.jit
@@ -54,14 +63,8 @@ def main():
     content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
     style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3), jnp.float32)
 
-    # NOTE: through the remote-TPU tunnel block_until_ready() returns without
-    # waiting; only a host transfer (device_get) forces completion. Fetch one
-    # pixel to sync (device execution is FIFO, so this drains the queue).
-    def sync(x):
-        jax.device_get(x[0, 0, 0, 0])
-
     for _ in range(args.warmup):
-        sync(stylize(params, content, style))
+        _sync(stylize(params, content, style))
 
     # The shared TPU service's throughput varies run-to-run; report the best
     # of 3 measurement rounds (peak sustained) to decouple the benchmark
@@ -72,7 +75,7 @@ def main():
         out = None
         for _ in range(args.iters):
             out = stylize(params, content, style)
-        sync(out)
+        _sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
     imgs_per_sec = args.iters * b / best_dt
@@ -83,6 +86,114 @@ def main():
         "unit": "imgs/sec",
         "vs_baseline": round(imgs_per_sec / baseline, 4),
     }))
+
+
+def bench_latency(args):
+    """p50/p90 end-to-end batch-1 latency (submit -> pixel on host)."""
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.models.master import master_apply
+
+    cfg = _build_cfg(args)
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def stylize(params, content, style):
+        return master_apply(params, content, style, cfg, k=args.k,
+                            deterministic=True)
+
+    s = args.size
+    content = jax.random.uniform(jax.random.PRNGKey(1), (1, s, s, 3), jnp.float32)
+    style = jax.random.uniform(jax.random.PRNGKey(2), (1, s, s, 3), jnp.float32)
+
+    for _ in range(args.warmup):
+        _sync(stylize(params, content, style))
+
+    lat = []
+    for _ in range(max(args.iters, 20)):
+        t0 = time.perf_counter()
+        _sync(stylize(params, content, style))
+        lat.append(time.perf_counter() - t0)
+    lat.sort()
+    p50 = lat[len(lat) // 2] * 1e3
+    p90 = lat[int(len(lat) * 0.9)] * 1e3
+    print(json.dumps({
+        "metric": f"{s}x{s} single-pair p50 latency (k={args.k}, {args.dtype})",
+        "value": round(p50, 2),
+        "unit": "ms",
+        "p90_ms": round(p90, 2),
+        "vs_baseline": None,
+    }))
+
+
+def bench_train(args):
+    """Jitted train-step throughput (BASELINE config #3)."""
+    from mastermetastyletransfer_tpu.config import (
+        DataConfig, ExperimentConfig, LossConfig, TrainConfig,
+    )
+    from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.train.state import (
+        create_train_state, make_optimizer,
+    )
+    from mastermetastyletransfer_tpu.train.step import make_train_step
+
+    size = args.size if args.size != 512 else 256  # reference trains on 256^2 crops
+    cfg = ExperimentConfig(
+        model=_build_cfg(args),
+        loss=LossConfig(default_lambda_value=10.0),
+        data=DataConfig(crop_to=size),
+        train=TrainConfig(mode="plain", max_layers=4),
+    )
+    params = init_master_model(jax.random.PRNGKey(0), cfg.model)
+    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    tx = make_optimizer(params, cfg.train)
+    state, tx = create_train_state(params, cfg.train, tx)
+    step = make_train_step(cfg, vgg, tx)
+
+    b = args.batch
+    content = jax.random.uniform(jax.random.PRNGKey(1), (b, size, size, 3))
+    style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
+    rng = jax.random.PRNGKey(3)
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, content, style, rng)
+    _sync(metrics["total"])
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step(state, content, style, rng)
+        _sync(metrics["total"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    imgs_per_sec = args.iters * b / best_dt
+    print(json.dumps({
+        "metric": (f"train-step imgs/sec ({size}x{size}, batch {b}, "
+                   f"{args.dtype}, pallas={args.pallas})"),
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": None,
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["infer", "latency", "train"],
+                    default="infer")
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--pallas", dest="pallas", action="store_true", default=True,
+                    help="use the fused Pallas kernels (default)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false")
+    args = ap.parse_args()
+
+    {"infer": bench_infer, "latency": bench_latency,
+     "train": bench_train}[args.mode](args)
 
 
 if __name__ == "__main__":

@@ -56,12 +56,20 @@ def stylize(params, content: jnp.ndarray, style: jnp.ndarray,
     size = pick_bucket(h, w, buckets)
 
     def pad_to(x, s):
+        # reflect-pad (edge content beats zeros for style statistics);
+        # reflect requires pad <= dim-1, so extreme aspect ratios (e.g.
+        # 100x512 -> bucket 512) pad in repeated stages, each bounded by the
+        # current dim (shapes are concrete here — the loop runs outside jit).
         _, xh, xw, _ = x.shape
-        if xh == s and xw == s:
-            return x
-        # reflect-pad (edge content beats zeros for style statistics)
-        return jnp.pad(x, ((0, 0), (0, s - xh), (0, s - xw), (0, 0)),
-                       mode="reflect")
+        while xh < s or xw < s:
+            ph = min(s - xh, max(xh - 1, 0))
+            pw = min(s - xw, max(xw - 1, 0))
+            if ph == 0 and pw == 0:  # degenerate 1-pixel dim
+                return jnp.pad(x, ((0, 0), (0, s - xh), (0, s - xw), (0, 0)),
+                               mode="edge")
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            xh, xw = xh + ph, xw + pw
+        return x
 
     content_p = pad_to(content, size)
     style_p = pad_to(style, size)

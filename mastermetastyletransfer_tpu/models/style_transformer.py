@@ -189,10 +189,14 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
 
     def scale_shift(Key, Scale, Shift, r_a, r_b):
         """Scale and Shift cross-attend with identical q=k=Key and shared
-        weights — on the Pallas eval path the softmax runs ONCE with two
+        weights — on the Pallas path the softmax runs ONCE with two
         value streams (the reference computes it twice,
-        codes/style_transformer.py:867-882)."""
-        if _fuse_mlp_ok(acfg, deterministic, sd):
+        codes/style_transformer.py:867-882). Gated like _pallas_ok
+        (ops/attention.py): the fused kernel has no attention-dropout, so it
+        only serves training when BOTH dropouts are off."""
+        fused_attn_ok = _fuse_mlp_ok(acfg, deterministic, sd) and (
+            deterministic or acfg.attention_dropout == 0.0)
+        if fused_attn_ok:
             from mastermetastyletransfer_tpu.ops.attention import (
                 shifted_window_attention_two_v,
             )
@@ -205,7 +209,12 @@ def style_encoder_apply(params: dict, Key: jnp.ndarray, Scale: jnp.ndarray,
             else:
                 qk, v1, v2 = Key, Scale, Shift
             a1, a2 = shifted_window_attention_two_v(attn, qk, qk, v1, v2, acfg)
-            r1, r2 = _split(r_a, 2) if r_a is not None else (None, None)
+            # Same stochastic-depth rng streams as the XLA fallback (which
+            # consumes _split(r, 4)[1] inside style_swin_block_apply for each
+            # of the two block() calls) so use_pallas runs are bit-reproducible
+            # against their XLA twins at matched seeds.
+            r1 = _split(r_a, 4)[1] if r_a is not None else None
+            r2 = _split(r_b, 4)[1] if r_b is not None else None
             return (Scale + stochastic_depth(a1, sd, deterministic=deterministic, rng=r1),
                     Shift + stochastic_depth(a2, sd, deterministic=deterministic, rng=r2))
         return (block(Key, Key, Scale, False, r_a),
@@ -356,9 +365,10 @@ def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
     (reference: codes/style_transformer.py:1229-1245).
 
     If `max_k` is None, k must be a static python int and the loop unrolls.
-    If `max_k` is given, k may be a traced scalar in [1, max_k]: a lax.scan of
-    max_k iterations runs with per-step masking (iterations >= k keep the old
-    carry), which keeps shapes static and stays reverse-differentiable.
+    If `max_k` is given, k may be a traced scalar in [1, max_k]: a lax.switch
+    dispatches over max_k unrolled depth branches so ONLY the sampled depth
+    executes; all branches share parameters and output shapes, and reverse-
+    mode differentiation flows through the taken branch.
     """
     Scale = Fs
     Shift = Fs

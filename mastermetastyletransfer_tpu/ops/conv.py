@@ -39,9 +39,9 @@ def init_conv(key, in_ch: int, out_ch: int, ksize: int = 3,
         q, _ = jnp.linalg.qr(flat)
         kernel = q.reshape(ksize, ksize, in_ch, out_ch)
     elif initializer == "default":
-        # torch Conv2d default: kaiming_uniform_(a=sqrt(5)) on fan_in
-        bound = (1.0 / fan_in) ** 0.5 * (3.0 ** 0.5) * (2.0 / 6.0) ** 0.5
-        bound = (6.0 / fan_in) ** 0.5 / (6.0 ** 0.5)  # = 1/sqrt(fan_in)
+        # torch Conv2d default: kaiming_uniform_(a=sqrt(5)) on fan_in,
+        # which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+        bound = (1.0 / fan_in) ** 0.5
         kernel = jax.random.uniform(kkey, shape, jnp.float32, -bound, bound)
     else:
         raise ValueError(f"unknown initializer {initializer!r}")

@@ -127,13 +127,23 @@ def _encode_jpeg(img01: np.ndarray) -> bytes:
 
 
 def _parse_multipart(body: bytes, boundary: bytes) -> dict:
-    """Tiny multipart/form-data parser (content + style file fields)."""
+    """Binary-safe multipart/form-data parser (content + style file fields).
+
+    Splits on the full CRLF--boundary delimiter so part payloads are taken
+    byte-exact (RFC 2046: the delimiter always follows a CRLF that belongs to
+    it, and a conforming producer guarantees the delimiter never occurs inside
+    encapsulated data) — no rstrip that could eat trailing payload bytes.
+    """
     parts = {}
-    for chunk in body.split(b"--" + boundary):
-        if b"\r\n\r\n" not in chunk:
+    chunks = (b"\r\n" + body).split(b"\r\n--" + boundary)
+    for chunk in chunks[1:]:
+        if chunk.startswith(b"--"):
+            break  # closing delimiter "--boundary--"
+        if chunk.startswith(b"\r\n"):
+            chunk = chunk[2:]
+        head, sep, payload = chunk.partition(b"\r\n\r\n")
+        if not sep:
             continue
-        head, _, payload = chunk.partition(b"\r\n\r\n")
-        payload = payload.rstrip(b"\r\n-")
         for field in (b'name="content"', b'name="style"'):
             if field in head:
                 parts[field.split(b'"')[1].decode()] = payload
@@ -169,7 +179,8 @@ def make_handler(service: StylizeService):
                 body = self.rfile.read(length)
                 ctype = self.headers.get("Content-Type", "")
                 if "multipart/form-data" in ctype:
-                    boundary = ctype.split("boundary=")[1].encode()
+                    boundary = (ctype.split("boundary=")[1].split(";")[0]
+                                .strip().strip('"').encode())
                     parts = _parse_multipart(body, boundary)
                     content = _decode_to(service.size, parts["content"])
                     style = _decode_to(service.size, parts["style"])
@@ -193,7 +204,9 @@ def main(argv=None):
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16")
-    ap.add_argument("--use_pallas", action="store_true", default=True)
+    ap.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="fused Pallas kernels (disable with --no-use_pallas)")
     args = ap.parse_args(argv)
 
     import jax

@@ -3,7 +3,8 @@ step, both as pure functions over (state, batch, rng).
 
 Reference semantics covered:
 - random layer count k in [1, max_layers] per step (train.py:448,
-  train_only_inner_loop.py:519) via a traced k + lax.scan masking.
+  train_only_inner_loop.py:519) via a traced k dispatched through a
+  lax.switch over unrolled depths (only the sampled depth executes).
 - the 4 ImageNet-normalization flag combinations
   (train_only_inner_loop.py:494-575).
 - Reptile meta loop (train.py:316-563): clone theta->omega, inner Adam steps

@@ -177,7 +177,16 @@ def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
                 content, style = preprocess(content_u8, style_u8, r_pre)
 
             if mesh is not None:
-                content, style = shard_batch((content, style), mesh)
+                if tcfg.mode == "meta":
+                    # meta contents are (num_inner_updates, B, ...): the batch
+                    # axis is dim 1, matching the step's P(None, "data") spec —
+                    # sharding dim 0 would force a host reshard every call.
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    content = jax.device_put(
+                        content, NamedSharding(mesh, P(None, "data")))
+                    style = shard_batch(style, mesh)
+                else:
+                    content, style = shard_batch((content, style), mesh)
             state, metrics = step_fn(state, content, style, r_step)
 
             if (it + 1) % log_every == 0 or it == start_step:

@@ -45,8 +45,9 @@ def test_ln_mlp_residual_grads_match_xla(rng, use_norm):
 
 
 def test_train_step_with_pallas_mlp():
-    """Training with use_pallas: attention falls back to XLA (forward-only
-    kernels), the fused MLP trains through its custom VJP."""
+    """Training with use_pallas: single/dual-V attention and the fused
+    LN+MLP+residual all train through their custom VJPs (Pallas backward
+    kernels); only the whole-block eval kernel stays forward-only."""
     from mastermetastyletransfer_tpu.config import (
         DataConfig, ExperimentConfig, LossConfig, ModelConfig, TrainConfig,
     )

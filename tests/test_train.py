@@ -177,15 +177,29 @@ def test_remat_matches_plain():
 
 
 def test_grad_accum_matches_full_batch():
-    """2 micro-batches must average to the full-batch gradient (batch-mean
-    losses; stochastic pieces keyed per micro-batch differ, so run in
-    deterministic eval-ish regime via identical rng folding)."""
+    """2 micro-batches must average to the full-batch gradient. Stochastic
+    depth is zeroed (micro-batches consume different rng streams than the
+    full batch) so the comparison is exact up to fp reduction order."""
+    from mastermetastyletransfer_tpu.train.step import _make_loss_and_grad
+
     cfg = _tiny_cfg(mode="plain")
+    st = cfg.model.transformer.replace(encoder_stochastic_depth_prob=0.0,
+                                       decoder_stochastic_depth_prob=0.0)
+    sw = cfg.model.swin.replace(stochastic_depth_probs=(0.0, 0.0, 0.0, 0.0))
+    cfg = cfg.replace(model=cfg.model.replace(transformer=st, swin=sw))
     cfg_a = cfg.replace(train=cfg.train.replace(grad_accum_steps=2))
     state, tx, vgg = _setup(cfg)
     c, s = _batch(n=4)
     rng = jax.random.PRNGKey(7)
-    sB, mB = make_train_step(cfg_a, vgg, tx)(state, c, s, rng)
-    # metrics finite and params updated
-    assert np.isfinite(float(mB["total"]))
-    assert int(sB.step) == 1
+    k = jnp.asarray(2)
+
+    (_, m1), g1 = jax.jit(_make_loss_and_grad(cfg, vgg))(
+        state.params, c, s, k, rng)
+    (_, m2), g2 = jax.jit(_make_loss_and_grad(cfg_a, vgg))(
+        state.params, c, s, k, rng)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
