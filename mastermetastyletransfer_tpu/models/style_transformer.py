@@ -90,25 +90,31 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
                            use_norm: bool, exclude_mlp: bool,
                            sd_prob: float, calculating_key: bool = False,
                            deterministic: bool = True,
-                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
+                           rng: Optional[jax.Array] = None,
+                           valid_hw: Optional[Tuple[int, int]] = None
+                           ) -> jnp.ndarray:
     """Forward of the generalized Swin block.
 
     Residual source: q when computing the encoder Key or when the block is a
     full (MLP-bearing) block; v when computing Scale/Shift (both sit in the V
     position of the shared MHA) — reference: codes/style_transformer.py:382-386.
+
+    valid_hw marks the true content size when the input arrives pre-padded
+    (padded-resident stages, fused eval path only).
     """
     x = q if (calculating_key or not exclude_mlp) else v
     r_attn, r_sd1, r_mlp, r_sd2 = _split(rng, 4)
 
     # Eval fast path: a full self-attention block (q=k=v, MLP-bearing) runs
-    # as ONE fused Pallas kernel after norm1 (ops/attention.py).
+    # as ONE fused Pallas kernel including norm1 (ops/attention.py).
     if (deterministic and attn_cfg.use_pallas
             and not exclude_mlp and q is k and k is v):
         from mastermetastyletransfer_tpu.ops.attention import (
             fused_self_attention_block,
         )
         return fused_self_attention_block(params, q, attn_cfg,
-                                          use_norm=use_norm)
+                                          use_norm=use_norm,
+                                          valid_hw=valid_hw)
 
     if use_norm:
         n1 = lambda t: layer_norm(t, params["norm1"]["scale"], params["norm1"]["bias"])

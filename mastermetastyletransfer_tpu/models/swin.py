@@ -105,10 +105,22 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
     x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
                    params["patch_embed"]["norm"]["bias"])
 
+    # Eval fast path (fused Pallas blocks): each stage stays PADDED-resident —
+    # pad to the window multiple once, run both blocks on the padded grid
+    # (the fused kernel's validity mask keeps pad rows inert — garbage there
+    # never reaches valid tokens), crop once at the stage end. Saves the
+    # crop+re-pad round trip between blocks.
+    fast = deterministic and cfg.use_pallas
+    from mastermetastyletransfer_tpu.ops.windows import pad_to_windows
+    wh, ww = cfg.window_size
+
     sd_idx = 0
     for stage in range(2):
         if stage == 1:
             x = patch_merging(params["patch_merge"], x)
+        vh, vw = x.shape[1], x.shape[2]
+        if fast:
+            x, _, _ = pad_to_windows(x, wh, ww)
         for blk in range(cfg.depths[stage]):
             acfg = _block_cfg(cfg, stage, blk)
             sub = None
@@ -118,6 +130,9 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
                 params[f"stage{stage}_block{blk}"], x, x, x, acfg,
                 use_norm=True, exclude_mlp=False,
                 sd_prob=cfg.stochastic_depth_probs[sd_idx],
-                calculating_key=True, deterministic=deterministic, rng=sub)
+                calculating_key=True, deterministic=deterministic, rng=sub,
+                valid_hw=(vh, vw) if fast else None)
             sd_idx += 1
+        if fast:
+            x = x[:, :vh, :vw]
     return x

@@ -221,21 +221,25 @@ def shifted_window_attention(params: dict, q_in: jnp.ndarray, k_in: jnp.ndarray,
 
 def fused_self_attention_block(block_params: dict, x_in: jnp.ndarray,
                                cfg: AttentionConfig, *,
-                               use_norm: bool) -> jnp.ndarray:
+                               use_norm: bool,
+                               valid_hw: Optional[Tuple[int, int]] = None
+                               ) -> jnp.ndarray:
     """Whole self-attention transformer block (norm1 -> attn -> +res ->
-    [norm2 ->] MLP -> +res) with everything after norm1 in ONE Pallas kernel.
+    [norm2 ->] MLP -> +res) in ONE Pallas kernel — norm1 included (the
+    kernel zeroes padding tokens' norm1 view via a static validity mask, so
+    only the raw input rides the pad/roll/partition geometry).
     Pallas eval path only; callers fall back to the composed ops otherwise.
+
+    valid_hw: the true (h, w) of valid content when x_in arrives already
+    padded (a padded-resident stage — see models/swin.py); rows/cols beyond
+    it are treated as padding even if they hold garbage.
     """
-    from mastermetastyletransfer_tpu.ops.norm import layer_norm
     from mastermetastyletransfer_tpu.ops.pallas_attention import (
         fused_window_block,
     )
-    if use_norm:
-        n1 = block_params["norm1"]
-        ln = layer_norm(x_in, n1["scale"], n1["bias"])
-    else:
-        ln = x_in
-    (xw, lnw), geom = _prepare([x_in, ln], cfg.window_size, cfg.shift_size)
+    from mastermetastyletransfer_tpu.ops.windows import valid_token_mask
+
+    (xw,), geom = _prepare([x_in], cfg.window_size, cfg.shift_size)
     wh, ww = cfg.window_size
     attn = block_params["attn"]
     bias = relative_position_bias(attn["rel_bias_table"], wh, ww)
@@ -243,11 +247,16 @@ def fused_self_attention_block(block_params: dict, x_in: jnp.ndarray,
     if geom["sh"] or geom["sw"]:
         mask = shift_attention_mask(
             geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+    vh, vw = valid_hw if valid_hw is not None else (geom["h"], geom["w"])
+    padmask = valid_token_mask(vh, vw, geom["pad_h"], geom["pad_w"],
+                               wh, ww, geom["sh"], geom["sw"])
     b = geom["b"]
     out4 = fused_window_block(
-        attn, _win4(xw, b), _win4(lnw, b), bias, mask, cfg.num_heads,
+        attn, _win4(xw, b), bias, mask, cfg.num_heads,
         block_params["mlp"],
         block_params.get("norm2") if use_norm else None,
+        block_params.get("norm1") if use_norm else None,
+        padmask,
         interpret=_pallas_interpret())
     return _finalize(out4.reshape(-1, out4.shape[2], out4.shape[3]),
                      geom, cfg.window_size)

@@ -286,17 +286,21 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     return _untile(sigma, nw, n), _untile(mu, nw, n)
 
 
-def _kernel_block(x_ref, ln_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+def _kernel_block(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
                   bv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+                  n1s_ref, n1b_ref, pm_ref,
                   n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                  out_ref, *, heads: int, scale: float, use_norm2: bool,
-                  eps: float = 1e-5):
-    """Whole transformer block in one program: self-attention (from the
-    pre-normed input) + residual + [LayerNorm ->] MLP + residual.
+                  out_ref, *, heads: int, scale: float, use_norm1: bool,
+                  use_padmask: bool, use_norm2: bool, eps: float = 1e-5):
+    """Whole transformer block in one program: LN1 -> self-attention +
+    residual + [LayerNorm ->] MLP + residual.
 
-    LN1 stays OUTSIDE (padded tokens must be exactly zero entering the
-    projections — reference pads after norm1); LN2/MLP are per-token, so
-    padded rows compute garbage that the caller's untile drops."""
+    LN1 runs IN-KERNEL; the validity mask then zeroes the norm1 view of
+    padding tokens (the reference zero-pads AFTER norm1, so padded tokens
+    enter the projections as exact zeros — a padded token's raw LayerNorm
+    would be its bias). This also makes garbage rows of a padded-resident
+    stage inert. LN2/MLP are per-token, so padded rows compute garbage that
+    the caller's untile/crop drops."""
     from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
 
     f32 = jnp.float32
@@ -306,13 +310,24 @@ def _kernel_block(x_ref, ln_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
         return jnp.dot(xin, w_ref[:],
                        preferred_element_type=f32) + b_ref[0].astype(f32)
 
-    xin = ln_ref[0, 0]
-    q = proj(xin, wq_ref, bq_ref)
-    k = proj(xin, wk_ref, bk_ref)
-    v = proj(xin, wv_ref, bv_ref)
+    x_raw = x_ref[0, 0]
+    if use_norm1:
+        xf = x_raw.astype(f32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        ln = (xf - mean) * jax.lax.rsqrt(var + eps)
+        ln = ln * n1s_ref[0].astype(f32) + n1b_ref[0].astype(f32)
+        ln = ln.astype(dt)
+    else:
+        ln = x_raw
+    if use_padmask:
+        ln = ln * pm_ref[0].astype(dt)
+    q = proj(ln, wq_ref, bq_ref)
+    k = proj(ln, wk_ref, bk_ref)
+    v = proj(ln, wv_ref, bv_ref)
     (acc,) = _attend_heads(q, k, (v,), wp_ref[:], bias_ref[:],
                            mask_ref[0].astype(f32), heads, scale, dt)
-    y = x_ref[0, 0].astype(f32) + acc + bp_ref[0].astype(f32)
+    y = x_raw.astype(f32) + acc + bp_ref[0].astype(f32)
 
     h = y
     if use_norm2:
@@ -328,24 +343,37 @@ def _kernel_block(x_ref, ln_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     out_ref[0, 0] = (y + h).astype(out_ref.dtype)
 
 
-def fused_window_block(params: dict, x: jnp.ndarray, ln_x: jnp.ndarray,
+def fused_window_block(params: dict, x: jnp.ndarray,
                        bias: jnp.ndarray, mask: Optional[jnp.ndarray],
                        heads: int, mlp_params: dict,
-                       norm2: Optional[dict], *,
+                       norm2: Optional[dict],
+                       norm1: Optional[dict] = None,
+                       padmask: Optional[np.ndarray] = None, *,
                        target_rows: int = 256,
                        interpret: bool = False) -> jnp.ndarray:
     """Self-attention transformer block fused into one kernel.
 
-    x / ln_x: (B, nW, N, C) window-partitioned raw input and its norm1 view
-    (identical when the block is norm-free). Returns the full block output
-    x + attn(ln_x) + mlp(LN2(.)) in the same layout."""
+    x: (B, nW, N, C) window-partitioned raw input. norm1 (scale/bias dict or
+    None for norm-free blocks) is applied IN-KERNEL; padmask ((nW, N) static
+    0/1 validity mask from ops/windows.valid_token_mask, or None when every
+    token is valid) zeroes padding tokens' norm1 view so they enter the
+    projections as exact zeros. Returns x + attn(LN1(x)) + mlp(LN2(.)) in
+    the same layout."""
     b, nw, n, c = x.shape
     tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
 
     x4 = _tiles(_pad_windows(x, nw_pad), nt)
-    ln4 = _tiles(_pad_windows(ln_x, nw_pad), nt)
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
+
+    if padmask is not None and padmask.min() >= 1.0:
+        padmask = None            # every token valid: skip the multiply
+    if padmask is not None:
+        pm = np.zeros((nw_pad, n), np.float32)
+        pm[:nw] = np.asarray(padmask, np.float32)
+        pm4 = jnp.asarray(pm.reshape(nt, twn, 1))
+    else:
+        pm4 = jnp.zeros((nt, twn, 1), jnp.float32)  # unread (use_padmask=False)
 
     w1 = mlp_params["fc1"]["kernel"]
     hidden = w1.shape[1]
@@ -360,30 +388,42 @@ def fused_window_block(params: dict, x: jnp.ndarray, ln_x: jnp.ndarray,
     else:
         n2s = jnp.ones((1, c), x.dtype)
         n2b = jnp.zeros((1, c), x.dtype)
+    if norm1 is not None:
+        n1s = norm1["scale"].reshape(1, c)
+        n1b = norm1["bias"].reshape(1, c)
+    else:
+        n1s = jnp.ones((1, c), x.dtype)
+        n1b = jnp.zeros((1, c), x.dtype)
 
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
     hmat = pl.BlockSpec((c, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     hmat_t = pl.BlockSpec((hidden, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     hvec = pl.BlockSpec((1, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec((1, twn, 1), lambda i, j: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel_block, heads=heads,
                              scale=(c // heads) ** -0.5,
+                             use_norm1=norm1 is not None,
+                             use_padmask=padmask is not None,
                              use_norm2=norm2 is not None)
     out = pl.pallas_call(
         kern,
         grid=(b, nt),
-        in_specs=[win, win,
+        in_specs=[win,
                   wmat, wvec, wmat, wvec, wmat, wvec, wmat, wvec,
                   rbias, mspec,
+                  wvec, wvec, pmspec,
                   wvec, wvec, hmat, hvec, hmat_t, wvec],
         out_specs=win,
         out_shape=jax.ShapeDtypeStruct((b, nt, twn, c), x.dtype),
         interpret=interpret,
-    )(x4, ln4,
+    )(x4,
       _linw(params, "wq"), _linb(params, "wq", c, x.dtype),
       _linw(params, "wk"), _linb(params, "wk", c, x.dtype),
       _linw(params, "wv"), _linb(params, "wv", c, x.dtype),
       _linw(params, "proj"), _linb(params, "proj", c, x.dtype),
       bias_b, mask_b,
+      n1s, n1b, pm4,
       n2s, n2b, w1, b1, w2, b2)
     return _untile(out, nw, n)

@@ -75,6 +75,24 @@ def shift_attention_mask(pad_h: int, pad_w: int, wh: int, ww: int,
     return np.where(diff != 0, np.float32(-100.0), np.float32(0.0))
 
 
+@lru_cache(maxsize=None)
+def valid_token_mask(h: int, w: int, pad_h: int, pad_w: int, wh: int, ww: int,
+                     sh: int, sw: int) -> np.ndarray:
+    """(nW, N) float32 mask marking tokens that originate inside the valid
+    (h, w) region of a (pad_h, pad_w) padded grid, after the cyclic roll by
+    (-sh, -sw) and window partition. Used by the fused block kernel to zero
+    the norm1 view of padding tokens in-kernel (a padded token's LayerNorm is
+    its bias, but the reference zero-pads AFTER norm1 — multiplying by this
+    mask reproduces that exactly, and also makes garbage in pad rows of a
+    padded-resident stage inert)."""
+    m = np.zeros((pad_h, pad_w), np.float32)
+    m[:h, :w] = 1.0
+    if sh or sw:
+        m = np.roll(m, (-sh, -sw), axis=(0, 1))
+    m = m.reshape(pad_h // wh, wh, pad_w // ww, ww).transpose(0, 2, 1, 3)
+    return m.reshape(-1, wh * ww)
+
+
 def window_partition(x: jnp.ndarray, wh: int, ww: int) -> jnp.ndarray:
     """(B, H, W, C) -> (B * nW, wh*ww, C); H, W must be multiples of wh, ww."""
     b, h, w, c = x.shape

@@ -36,6 +36,23 @@ def test_spatial_sharding_matches_single_device():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_spatial_sharding_with_pallas_matches_xla():
+    """use_pallas + spatial mesh (VERDICT r1: previously untested): the fused
+    kernels must compose with the GSPMD spatial sharding and match the
+    unsharded XLA path."""
+    cfg, params, c, s = _setup(hw=64, batch=2)
+    ref = master_apply(params, c, s, cfg, k=1)
+
+    cfg_p = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
+                        transformer=cfg.transformer.replace(use_pallas=True))
+    mesh = make_hybrid_mesh(2, 4)
+    fn = make_spatial_stylize(cfg_p, mesh, k=1, data_axis="data")
+    c_sh, s_sh = shard_images_spatial((c, s), mesh, data_axis="data")
+    out = fn(params, c_sh, s_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_hybrid_mesh_data_x_space():
     cfg, params, c, s = _setup(hw=64, batch=2)
     ref = master_apply(params, c, s, cfg, k=1)
