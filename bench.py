@@ -43,7 +43,8 @@ def _build_cfg(args):
     cfg = ModelConfig(compute_dtype=args.dtype)
     if args.pallas:
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
-                          transformer=cfg.transformer.replace(use_pallas=True))
+                          transformer=cfg.transformer.replace(use_pallas=True),
+                          decoder=cfg.decoder.replace(use_pallas=True))
     return cfg
 
 

@@ -168,6 +168,10 @@ class DecoderConfig(_ConfigBase):
     # Exact algebraic fusion of upsample->pad->conv pairs into coarse-grid
     # phase convs (ops/conv.py:upsample_conv_fused); bit-comparable output.
     fuse_upsample: bool = True
+    # Pallas phase-align kernel for the post-conv phase realignment (the
+    # 4-slice+concat XLA chain costs ~3ms at 256^2; the kernel is one
+    # bandwidth-bound op). Exact — same values, different schedule.
+    use_pallas: bool = False
 
 
 @dataclass(frozen=True)

@@ -60,7 +60,8 @@ def main(argv=None):
     model_cfg = ModelConfig(swin=swin, compute_dtype=args.compute_dtype)
     if args.use_pallas:
         model_cfg = model_cfg.replace(
-            transformer=model_cfg.transformer.replace(use_pallas=True))
+            transformer=model_cfg.transformer.replace(use_pallas=True),
+            decoder=model_cfg.decoder.replace(use_pallas=True))
     cfg = ExperimentConfig(
         model=model_cfg,
         loss=LossConfig(default_lambda_value=args.lambda_style),

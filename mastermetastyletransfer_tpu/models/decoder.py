@@ -63,14 +63,16 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
             continue
         if pending_up:
             x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
-                                    keep_phase=True)
+                                    keep_phase=True,
+                                    use_pallas=cfg.use_pallas)
             in_phase = True
         elif in_phase:
             # leave phase space at upsample boundaries (the next up-conv
             # consumes a plain coarse grid) and for the final RGB
             leave = up or i == n - 1
             x = phase_conv3x3(params[f"conv{i}"], x, relu=relu,
-                              interleave=leave)
+                              interleave=leave,
+                              use_pallas=cfg.use_pallas)
             in_phase = not leave
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

@@ -20,6 +20,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mastermetastyletransfer_tpu.config import AttentionConfig, StyleTransformerConfig
 from mastermetastyletransfer_tpu.ops.attention import (
@@ -362,6 +363,221 @@ def init_style_transformer(key, cfg: StyleTransformerConfig) -> dict:
             "decoder": init_style_decoder(k_dec, cfg)}
 
 
+def _st_windowed_ok(cfg: StyleTransformerConfig, deterministic: bool) -> bool:
+    """The window-resident eval fast path needs: eval mode, Pallas on, zero
+    dropouts, identical encoder/decoder window geometry (so one partition
+    serves every attention), and the default windowed decoder tail."""
+    return (deterministic and cfg.use_pallas
+            and cfg.encoder_dropout == 0.0 and cfg.decoder_dropout == 0.0
+            and cfg.encoder_attention_dropout == 0.0
+            and cfg.decoder_attention_dropout == 0.0
+            and cfg.encoder_dim == cfg.decoder_dim
+            and cfg.encoder_window_size == cfg.decoder_window_size
+            and cfg.encoder_shift_size == cfg.decoder_shift_size
+            and not cfg.decoder_use_regular_MHA_instead_of_Swin_at_the_end)
+
+
+def _masked_instance_norm(x4, vm, count: float, eps: float = 1e-5,
+                          scale=None, bias=None):
+    """InstanceNorm over the VALID tokens of a window-layout tensor
+    (B, nW, N, C): reproduces image-layout IN statistics (the reference
+    normalizes BEFORE padding; window-resident tensors carry pad tokens).
+    Biased variance, eps 1e-5, f32 stats — same numerics as ops/norm."""
+    f32 = jnp.float32
+    xf = x4.astype(f32) * vm
+    mean = jnp.sum(xf, axis=(1, 2), keepdims=True) / count
+    var = jnp.sum(jnp.square(xf), axis=(1, 2), keepdims=True) / count \
+        - jnp.square(mean)
+    y = (x4.astype(f32) - mean) * (var + eps) ** -0.5
+    if scale is not None:
+        y = y * scale.astype(f32)
+    if bias is not None:
+        y = y + bias.astype(f32)
+    return y.astype(x4.dtype)
+
+
+def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
+                                     Fs: jnp.ndarray,
+                                     cfg: StyleTransformerConfig, *,
+                                     k: int) -> jnp.ndarray:
+    """Window-RESIDENT eval fast path: partition Fc/Fs into (rolled, padded)
+    windows ONCE, run all k iterations of encoder+decoder entirely in the
+    (B, nW, N, C) layout, merge once at the end.
+
+    Every attention in the style transformer shares one geometry (window 7,
+    shift (4,4) — reference codes/style_transformer.py:1159-1226), and every
+    op between attentions (LN/IN/MLP/modulation) is token-local or
+    permutation-invariant, so the per-attention pad->roll->partition->merge->
+    unroll->unpad round trips of the reference (and of the generic path) are
+    pure overhead — ~25 relayout HLOs per iteration on a device with a fixed
+    per-op cost.
+
+    Parity-critical details:
+      * Before each attention, inputs have their padding tokens re-zeroed
+        (valid_token_mask) — the reference pads FRESH zeros each time, and
+        padded tokens participate as keys in border windows (so their
+        post-projection value, the qkv bias, must match).
+      * INs that the reference computes on the un-padded image
+        (decoder Q/K entry INs, codes/style_transformer.py:1053-1057, :468)
+        use masked statistics over valid tokens; the post-linear Key IN
+        (:520-530) keeps full padded-grid statistics, pad tokens carrying
+        exactly the wk bias.
+      * Residual sources follow codes/style_transformer.py:382-386 (q for
+        Key/self blocks, v for Scale/Shift).
+    """
+    from mastermetastyletransfer_tpu.ops.attention import (
+        _finalize, _prepare,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_window_block,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+        window_attention, window_attention_dual,
+    )
+    from mastermetastyletransfer_tpu.ops.windows import (
+        relative_position_bias, shift_attention_mask, valid_token_mask,
+    )
+
+    acfg = cfg.encoder_attn()
+    wh, ww = acfg.window_size
+    heads_e = cfg.encoder_num_heads
+    heads_d = cfg.decoder_num_heads
+
+    (fc_w, fs_w), geom = _prepare([Fc, Fs], acfg.window_size, acfg.shift_size)
+    b = geom["b"]
+
+    def to4(x):
+        bn, n, c = x.shape
+        return x.reshape(b, bn // b, n, c)
+
+    fc_w, fs_w = to4(fc_w), to4(fs_w)
+
+    mask_key = None
+    if geom["sh"] or geom["sw"]:
+        m = shift_attention_mask(
+            geom["pad_h"], geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+        mask_key = (m.shape, tuple(m.ravel().tolist()))
+    mask_np = (None if mask_key is None
+               else np.asarray(mask_key[1], np.float32).reshape(mask_key[0]))
+    vmask = valid_token_mask(geom["h"], geom["w"], geom["pad_h"],
+                             geom["pad_w"], wh, ww, geom["sh"], geom["sw"])
+    all_valid = float(np.min(vmask)) >= 1.0
+    vm = jnp.asarray(vmask, jnp.float32)[None, :, :, None]
+    count = float(geom["h"] * geom["w"])
+
+    def zp(x4):
+        """Re-zero padding tokens (identity when the grid divides evenly)."""
+        if all_valid:
+            return x4
+        return x4 * vm.astype(x4.dtype)
+
+    enc = params["encoder"]
+    dec = params["decoder"]
+    e_attn = enc["shared_mha"]["attn"]
+    bias_e = relative_position_bias(e_attn["rel_bias_table"], wh, ww)
+
+    if cfg.encoder_use_norm:
+        n1 = enc["shared_mha"]["norm1"]
+        ln_e = lambda t: layer_norm(t, n1["scale"], n1["bias"])
+    else:
+        ln_e = lambda t: t
+
+    def enc_key_block(Key):
+        x = zp(ln_e(Key))
+        a = window_attention(e_attn, x, x, x, bias_e, mask_key, heads_e)
+        return Key + a
+
+    def enc_scale_shift(Key, Scale, Shift):
+        qk = zp(ln_e(Key))
+        v1 = zp(ln_e(Scale))
+        v2 = zp(ln_e(Shift))
+        q = linear(e_attn["wq"], qk)
+        kk = linear(e_attn["wk"], qk)
+        shared = {"wv_scale": e_attn["wv"], "wv_shift": e_attn["wv"],
+                  "proj": e_attn["proj"]}
+        a1, a2 = window_attention_dual(shared, q, kk, v1, v2, bias_e,
+                                       mask_key, heads_e)
+        return Scale + a1, Shift + a2
+
+    def mlp_res(x, mlp_params):
+        return ln_mlp_residual(x, mlp_params, None)
+
+    def encoder(Key, Scale, Shift):
+        if cfg.encoder_if_use_processed_Key_in_Scale_and_Shift_calculation:
+            Key = mlp_res(enc_key_block(Key), enc["mlp_key"])
+            Scale, Shift = enc_scale_shift(Key, Scale, Shift)
+            Scale = mlp_res(Scale, enc["mlp_scale"])
+            Shift = mlp_res(Shift, enc["mlp_shift"])
+        else:
+            Scale, Shift = enc_scale_shift(Key, Scale, Shift)
+            Scale = mlp_res(Scale, enc["mlp_scale"])
+            Shift = mlp_res(Shift, enc["mlp_shift"])
+            Key = mlp_res(enc_key_block(Key), enc["mlp_key"])
+        return Key, Scale, Shift
+
+    dcfg = cfg.decoder_attn()
+    d_self = dec["self_mha"]
+    bias_self = relative_position_bias(d_self["attn"]["rel_bias_table"],
+                                       wh, ww)
+    affine = cfg.decoder_use_instance_norm_with_affine
+
+    def _in_masked(x4, which):
+        aff = dec.get(which) if affine else None
+        return _masked_instance_norm(
+            x4, vm, count,
+            scale=None if aff is None else aff["scale"],
+            bias=None if aff is None else aff["bias"])
+
+    def dec_self_block(Fcs):
+        if cfg.decoder_exclude_MLP_after_Fcs_self_MHA:
+            if cfg.decoder_use_norm:
+                nn1 = d_self["norm1"]
+                x = zp(layer_norm(Fcs, nn1["scale"], nn1["bias"]))
+            else:
+                x = zp(Fcs)
+            a = window_attention(d_self["attn"], x, x, x, bias_self,
+                                 mask_key, heads_d)
+            return Fcs + a
+        return fused_window_block(
+            d_self["attn"], Fcs, bias_self, mask_np, heads_d,
+            d_self["mlp"],
+            d_self.get("norm2") if cfg.decoder_use_norm else None,
+            d_self.get("norm1") if cfg.decoder_use_norm else None,
+            vmask, interpret=_pallas_interpret())
+
+    d_dual = dec["dual_mha"]
+    bias_dual = relative_position_bias(d_dual["rel_bias_table"], wh, ww)
+
+    def decoder(Fcs, Key, Scale, Shift):
+        Query = dec_self_block(Fcs)
+        # entry INs on the un-padded image -> masked stats
+        # (reference: codes/style_transformer.py:1053-1057)
+        Query_IN = _in_masked(Query, "in_q")
+        Key_IN = _in_masked(Key, "in_k")
+        # in-attention Q IN (reference :468) — applied AGAIN, masked
+        q = zp(_in_masked(Query_IN, "in_q"))
+        if cfg.decoder_use_Key_instance_norm_after_linear_transformation:
+            kk = linear(d_dual["wk"], zp(Key_IN))
+            # post-linear IN over the FULL padded grid (pad tokens = wk bias)
+            kk = instance_norm(kk.reshape(b, -1, kk.shape[-1])).reshape(kk.shape)
+        else:
+            kk = zp(_in_masked(Key_IN, "in_k"))
+            kk = linear(d_dual["wk"], kk)
+        sigma, mu = window_attention_dual(
+            d_dual, q, kk, zp(Scale), zp(Shift), bias_dual, mask_key, heads_d)
+        Query = Query * sigma + mu
+        return ln_mlp_residual(Query, dec["last_mlp"], None)
+
+    Scale, Shift, Key, Fcs = fs_w, fs_w, fs_w, fc_w
+    for _ in range(int(k)):
+        Key, Scale, Shift = encoder(Key, Scale, Shift)
+        Fcs = decoder(Fcs, Key, Scale, Shift)
+
+    out = _finalize(Fcs.reshape(-1, Fcs.shape[2], Fcs.shape[3]), geom,
+                    acfg.window_size)
+    return out
+
+
 def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
                             cfg: StyleTransformerConfig, *, k: int = 1,
                             max_k: Optional[int] = None,
@@ -376,6 +592,9 @@ def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
     executes; all branches share parameters and output shapes, and reverse-
     mode differentiation flows through the taken branch.
     """
+    if max_k is None and rng is None and _st_windowed_ok(cfg, deterministic):
+        return style_transformer_apply_windowed(params, Fc, Fs, cfg, k=int(k))
+
     Scale = Fs
     Shift = Fs
 

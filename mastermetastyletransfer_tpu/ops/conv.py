@@ -149,8 +149,25 @@ def _phase_space_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return k
 
 
+def _align(big: jnp.ndarray, h: int, w: int, c_out: int,
+           use_pallas: bool) -> jnp.ndarray:
+    """Phase realignment big (B, H+1, W+1, 4C') -> (B, H, W, 4C'):
+    out[..., (2a+b)C'] = big[:, a:a+H, b:b+W, (2a+b)C']. One Pallas pass when
+    enabled and lane-sliceable; XLA slices+concat otherwise (exact either
+    way)."""
+    if use_pallas and c_out % 32 == 0:
+        from mastermetastyletransfer_tpu.ops.pallas_conv import phase_align
+        interpret = jax.default_backend() != "tpu"
+        return phase_align(big, c_out, interpret=interpret)
+    subs = [big[:, a:a + h, bb:bb + w,
+                (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
+            for a in range(2) for bb in range(2)]
+    return jnp.concatenate(subs, axis=-1)
+
+
 def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
-                  interleave: bool = False) -> jnp.ndarray:
+                  interleave: bool = False,
+                  use_pallas: bool = False) -> jnp.ndarray:
     """Exact fine-grid reflect-pad 3x3 conv computed on a PHASE tensor
     (B, H, W, 4C) without materializing the (2H, 2W, C) fine grid.
 
@@ -169,15 +186,14 @@ def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
     big = big + jnp.tile(params["bias"], 4).astype(big.dtype)
     if relu:
         big = jnp.maximum(big, 0)
-    subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
-            for a in range(2) for bb in range(2)]
-    out = jnp.concatenate(subs, axis=-1)
+    out = _align(big, h, w, c_out, use_pallas)
     return phase_interleave(out) if interleave else out
 
 
 def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
                         relu: bool = True,
-                        keep_phase: bool = False) -> jnp.ndarray:
+                        keep_phase: bool = False,
+                        use_pallas: bool = False) -> jnp.ndarray:
     """Exact fusion of upsample_nearest(2) -> 1px reflect pad -> 3x3 conv
     [-> ReLU] as ONE 2x2 conv on the coarse grid + phase interleave.
 
@@ -199,7 +215,5 @@ def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
     if relu:
         big = jnp.maximum(big, 0)
     # phase p = 2a+b sits at coarse offset (a, b)
-    subs = [big[:, a:a + h, bb:bb + w, (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
-            for a in range(2) for bb in range(2)]
-    out = jnp.concatenate(subs, axis=-1)      # phase tensor (B, H, W, 4*C')
+    out = _align(big, h, w, c_out, use_pallas)  # phase tensor (B, H, W, 4*C')
     return out if keep_phase else phase_interleave(out)

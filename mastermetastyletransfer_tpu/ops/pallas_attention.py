@@ -8,12 +8,17 @@ tested against it (tests/test_pallas.py) and enabled via
 AttentionConfig.use_pallas.
 
 Design (constraints from /opt/skills/guides/pallas_guide.md and Mosaic):
-  * Grid = (B, nT): program (i, j) handles window-tile j (TW windows,
-    TWN = TW*N rows) of image i. The Q/K/V and output projections run as
-    full-width (TWN, C) x (C, C) matmuls — MXU-shaped — and heads are an
+  * Grid = (nT, B/BSUB), image-group index fastest: program (j, i) handles
+    window-tile j (TW windows, TWN = TW*N rows) of BSUB images at once —
+    their rows stack along sublanes, so projections/MLP run as
+    (BSUB*TWN, C) x (C, .) matmuls (the MXU is row-starved at TWN~245) while
+    attention stays per-image (sublane slices). The per-tile mask/bias
+    blocks keep a constant index across consecutive steps and stay
+    VMEM-resident (the mask is the largest per-step input). Heads are an
     in-kernel unrolled loop over 32-lane slices (Mosaic supports vector lane
     slicing; it rejects lane-splitting reshapes and >1-batch-dim matmuls,
-    which shaped this design).
+    which shaped this design). Softmax normalization is deferred past the
+    value matmul (divide the (TWN, dh) product, not the (TWN, TWN) probs).
   * Attention logits for a whole tile run as ONE (TWN, dh) x (dh, TWN)
     matmul per head -> (TWN, TWN, e.g. 196x196 for window 7, TW=4) instead
     of TW separate 49x49 dribbles. Cross-window pairs are killed by a
@@ -87,10 +92,14 @@ def _bias_big(bias: jnp.ndarray, tw: int) -> jnp.ndarray:
 
 def _expand_mask(mask: Optional[jnp.ndarray], nt: int, tw: int, n: int,
                  nw: int) -> jnp.ndarray:
+    """bfloat16: every mask value ({0, -100} region entries and the -1e9
+    cross-window fill) is order-exact in bf16, and the (nT, TWN, TWN) mask is
+    the largest per-step kernel input — half the bytes matters."""
     key = None
     if mask is not None:
         key = tuple(np.asarray(mask, np.float32).ravel().tolist())
-    return jnp.asarray(_static_mask_big(key, nt, tw, n, nw))
+    return jnp.asarray(_static_mask_big(key, nt, tw, n, nw),
+                       dtype=jnp.bfloat16)
 
 
 def _pad_windows(x: jnp.ndarray, nw_pad: int) -> jnp.ndarray:
@@ -123,55 +132,98 @@ def _linb(p: dict, name: str, c: int, dtype):
 
 
 def _attend_heads(q, k, vs, wp, bias, mask, heads: int, scale: float,
-                  compute_dtype):
-    """Shared in-kernel head loop. q/k: (TWN, C) f32; vs: tuple of (TWN, C)
-    f32 value matrices; wp: (C, C). Returns one (TWN, C) f32 output per value
-    stream, with the output projection accumulated per head."""
+                  compute_dtype, bsub: int = 1):
+    """Shared in-kernel attention. q/k: (BSUB*TWN, C) f32 — BSUB images'
+    same-tile rows stacked along sublanes (attention never crosses the
+    per-image TWN boundary); vs: tuple of (BSUB*TWN, C) f32 value matrices;
+    wp: (C, C). Returns one (BSUB*TWN, C) f32 output per value stream.
+
+    Head loop runs OUTER so the bias+mask combine is amortized over the
+    BSUB images. Softmax normalization is deferred past the value matmul
+    (o = (E V) / rowsum(E)) — one (TWN, dh) multiply instead of a (TWN, TWN)
+    divide pass. Heads' outputs concatenate along lanes and the output
+    projection runs as ONE (BSUB*TWN, C) x (C, C) matmul."""
     f32 = jnp.float32
-    twn, c = q.shape
+    rows, c = q.shape
+    twn = rows // bsub
     dh = c // heads
-    accs = [jnp.zeros((twn, c), f32) for _ in vs]
     qs = (q * scale).astype(compute_dtype)
     ks = k.astype(compute_dtype)
     vs = [v.astype(compute_dtype) for v in vs]
-    wp = wp.astype(compute_dtype)
+    if bsub > 1:
+        # (BSUB*TWN, C) -> (BSUB, TWN, C): attention is per-image, so the
+        # image axis becomes the ONE batch dim Mosaic allows in dot_general
+        # (keeps the kernel body at `heads` unrolled iterations, not
+        # heads*BSUB — the fully unrolled form crashes the Mosaic compiler
+        # at TWN=245, BSUB=8).
+        qs = qs.reshape(bsub, twn, c)
+        ks = ks.reshape(bsub, twn, c)
+        vs = [v.reshape(bsub, twn, c) for v in vs]
+        bdims = (((2,), (2,)), ((0,), (0,)))           # qk^T, batch=image
+        pvdims = (((2,), (1,)), ((0,), (0,)))          # P v, batch=image
+    else:
+        bdims = (((1,), (1,)), ((), ()))
+        pvdims = (((1,), (0,)), ((), ()))
+    o_heads = [[None] * heads for _ in vs]             # per stream
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(qs[:, sl], ks[:, sl], (((1,), (1,)), ((), ())),
+        comb = bias[h].astype(f32) + mask              # (TWN, TWN)
+        s = jax.lax.dot_general(qs[..., sl], ks[..., sl], bdims,
                                 preferred_element_type=f32)
-        s = s + bias[h].astype(f32) + mask
+        s = s + comb                                   # broadcasts over BSUB
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(compute_dtype)
-        wp_h = wp[sl, :]                              # sublane slice of W_p
-        for i, v in enumerate(vs):
-            o = jnp.dot(p, v[:, sl], preferred_element_type=f32)   # (TWN, dh)
-            accs[i] = accs[i] + jnp.dot(o.astype(compute_dtype), wp_h,
-                                        preferred_element_type=f32)
+        recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        ec = e.astype(compute_dtype)
+        for v_i, v in enumerate(vs):
+            o = jax.lax.dot_general(ec, v[..., sl], pvdims,
+                                    preferred_element_type=f32)
+            o_heads[v_i][h] = (o * recip).astype(compute_dtype)
+    wp_c = wp.astype(compute_dtype)
+    accs = []
+    for v_i in range(len(vs)):
+        allo = jnp.concatenate(o_heads[v_i], axis=-1)  # lanes: heads -> C
+        if bsub > 1:
+            allo = allo.reshape(rows, c)
+        accs.append(jnp.dot(allo, wp_c, preferred_element_type=f32))
     return accs
+
+
+def _flat(x_ref):
+    """(BSUB, 1, TWN, C) block -> (BSUB*TWN, C) sublane-merged view."""
+    bsub, _, twn, c = x_ref.shape
+    return x_ref[:, 0].reshape(bsub * twn, c)
+
+
+def _unflat(x, out_ref):
+    bsub, _, twn, c = out_ref.shape
+    out_ref[:, 0] = x.reshape(bsub, twn, c).astype(out_ref.dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
             bv_ref, wp_ref, bp_ref, bias_ref, mask_ref, out_ref, *,
-            heads: int, scale: float):
+            heads: int, scale: float, bsub: int):
     f32 = jnp.float32
     dt = q_ref.dtype
 
+    # NOTE: weights are stored f32; cast to the compute dtype at load or the
+    # mixed-dtype dot silently promotes to an f32 matmul (~1/8 MXU peak).
     def proj(x_ref, w_ref, b_ref):
-        return jnp.dot(x_ref[0, 0], w_ref[:],
+        return jnp.dot(_flat(x_ref), w_ref[:].astype(dt),
                        preferred_element_type=f32) + b_ref[0].astype(f32)
 
     q = proj(q_ref, wq_ref, bq_ref)
     k = proj(k_ref, wk_ref, bk_ref)
     v = proj(v_ref, wv_ref, bv_ref)
     (acc,) = _attend_heads(q, k, (v,), wp_ref[:], bias_ref[:],
-                           mask_ref[0].astype(f32), heads, scale, dt)
-    out_ref[0, 0] = (acc + bp_ref[0].astype(f32)).astype(out_ref.dtype)
+                           mask_ref[0].astype(f32), heads, scale, dt,
+                           bsub=bsub)
+    _unflat(acc + bp_ref[0].astype(f32), out_ref)
 
 
 def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
                  bsh_ref, wp_ref, bp_ref, bias_ref, mask_ref,
-                 sigma_ref, mu_ref, *, heads: int, scale: float):
+                 sigma_ref, mu_ref, *, heads: int, scale: float, bsub: int):
     """Dual-value program: q and k arrive PRE-projected (the reference's q
     has no linear when use_q_proj=False, and K's optional instance norm uses
     whole-grid statistics — a cross-window reduce that lives outside the
@@ -181,28 +233,49 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
     dt = vs_ref.dtype
 
     def proj(x_ref, w_ref, b_ref):
-        return jnp.dot(x_ref[0, 0], w_ref[:],
+        return jnp.dot(_flat(x_ref), w_ref[:].astype(dt),
                        preferred_element_type=f32) + b_ref[0].astype(f32)
 
-    q = q_ref[0, 0].astype(f32)
-    k = k_ref[0, 0].astype(f32)
+    q = _flat(q_ref).astype(f32)
+    k = _flat(k_ref).astype(f32)
     v_s = proj(vs_ref, ws_ref, bs_ref)
     v_h = proj(vh_ref, wsh_ref, bsh_ref)
     acc_s, acc_h = _attend_heads(q, k, (v_s, v_h), wp_ref[:], bias_ref[:],
-                                 mask_ref[0].astype(f32), heads, scale, dt)
+                                 mask_ref[0].astype(f32), heads, scale, dt,
+                                 bsub=bsub)
     bp = bp_ref[0].astype(f32)
-    sigma_ref[0, 0] = (acc_s + bp).astype(sigma_ref.dtype)
-    mu_ref[0, 0] = (acc_h + bp).astype(mu_ref.dtype)
+    _unflat(acc_s + bp, sigma_ref)
+    _unflat(acc_h + bp, mu_ref)
 
 
-def _specs(twn, c, heads):
-    win = pl.BlockSpec((1, 1, twn, c), lambda i, j: (i, j, 0, 0),
+def _pick_bsub(b: int, c: int, twn: int) -> int:
+    """Images per grid step: stack BSUB images' same-tile rows along
+    sublanes so the in-kernel projections/MLP run as (BSUB*TWN, C) matmuls
+    (up to 8x wider M than per-image tiles — the MXU is row-starved at
+    TWN~245). Budgeted against the ~16MB VMEM: the block kernel's f32
+    row-buffers (qkv 3C + MLP hidden 4C + residual) OOM just past
+    BSUB*TWN*C ~ 128k elements (measured: 16.74M/16M at 8*245*128). Must
+    divide B so no image padding is needed."""
+    cap = min(8, max(1, 131072 // (c * twn)))
+    for d in range(min(cap, b), 0, -1):
+        if b % d == 0:
+            return d
+    return 1
+
+
+def _specs(twn, c, heads, bsub: int = 1):
+    """Block specs under the (nT, B/BSUB) grid: the tile index j is
+    program_id(0) (slow) and the image-group index i is program_id(1)
+    (fast), so the per-tile mask block index stays CONSTANT across
+    consecutive grid steps and Mosaic keeps it VMEM-resident instead of
+    re-streaming ~TWN^2 bytes per step."""
+    win = pl.BlockSpec((bsub, 1, twn, c), lambda j, i: (i, j, 0, 0),
                        memory_space=pltpu.VMEM)
-    wmat = pl.BlockSpec((c, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    wvec = pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    rbias = pl.BlockSpec((heads, twn, twn), lambda i, j: (0, 0, 0),
+    wmat = pl.BlockSpec((c, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    wvec = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    rbias = pl.BlockSpec((heads, twn, twn), lambda j, i: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((1, twn, twn), lambda i, j: (j, 0, 0),
+    mask = pl.BlockSpec((1, twn, twn), lambda j, i: (j, 0, 0),
                         memory_space=pltpu.VMEM)
     return win, wmat, wvec, rbias, mask
 
@@ -228,11 +301,13 @@ def fused_window_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
-    kern = functools.partial(_kernel, heads=heads, scale=(c // heads) ** -0.5)
+    bsub = _pick_bsub(b, c, twn)
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
+    kern = functools.partial(_kernel, heads=heads, scale=(c // heads) ** -0.5,
+                             bsub=bsub)
     out = pl.pallas_call(
         kern,
-        grid=(b, nt),
+        grid=(nt, b // bsub),
         in_specs=[win, win, win,
                   wmat, wvec, wmat, wvec, wmat, wvec, wmat, wvec,
                   rbias, mspec],
@@ -265,13 +340,14 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    bsub = _pick_bsub(b, c, twn)
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     kern = functools.partial(_kernel_dual, heads=heads,
-                             scale=(c // heads) ** -0.5)
+                             scale=(c // heads) ** -0.5, bsub=bsub)
     out_shape = jax.ShapeDtypeStruct((b, nt, twn, c), q.dtype)
     sigma, mu = pl.pallas_call(
         kern,
-        grid=(b, nt),
+        grid=(nt, b // bsub),
         in_specs=[win, win, win, win,
                   wmat, wvec, wmat, wvec, wmat, wvec,
                   rbias, mspec],
@@ -286,14 +362,19 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     return _untile(sigma, nw, n), _untile(mu, nw, n)
 
 
-def _kernel_block(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-                  bv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                  bias_ref, mask_ref,
                   n1s_ref, n1b_ref, pm_ref,
                   n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
                   out_ref, *, heads: int, scale: float, use_norm1: bool,
-                  use_padmask: bool, use_norm2: bool, eps: float = 1e-5):
+                  use_padmask: bool, use_norm2: bool, bsub: int,
+                  eps: float = 1e-5):
     """Whole transformer block in one program: LN1 -> self-attention +
-    residual + [LayerNorm ->] MLP + residual.
+    residual + [LayerNorm ->] MLP + residual, for BSUB images' tiles at once
+    (projections/MLP run on (BSUB*TWN, C) rows — MXU-width M).
+
+    Q/K/V weights arrive pre-concatenated as ONE (C, 3C) matrix so the three
+    projections are a single GEMM; q/k/v split off as C-granular lane slices.
 
     LN1 runs IN-KERNEL; the validity mask then zeroes the norm1 view of
     padding tokens (the reference zero-pads AFTER norm1, so padded tokens
@@ -305,12 +386,9 @@ def _kernel_block(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
 
     f32 = jnp.float32
     dt = x_ref.dtype
+    c = x_ref.shape[-1]
 
-    def proj(xin, w_ref, b_ref):
-        return jnp.dot(xin, w_ref[:],
-                       preferred_element_type=f32) + b_ref[0].astype(f32)
-
-    x_raw = x_ref[0, 0]
+    x_raw = _flat(x_ref)
     if use_norm1:
         xf = x_raw.astype(f32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -321,12 +399,18 @@ def _kernel_block(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     else:
         ln = x_raw
     if use_padmask:
-        ln = ln * pm_ref[0].astype(dt)
-    q = proj(ln, wq_ref, bq_ref)
-    k = proj(ln, wk_ref, bk_ref)
-    v = proj(ln, wv_ref, bv_ref)
+        pm = pm_ref[0].astype(dt)
+        if bsub > 1:
+            pm = jnp.concatenate([pm] * bsub, axis=0)
+        ln = ln * pm
+    qkv = jnp.dot(ln, wqkv_ref[:].astype(dt),
+                  preferred_element_type=f32) + bqkv_ref[0].astype(f32)
+    q = qkv[:, :c]
+    k = qkv[:, c:2 * c]
+    v = qkv[:, 2 * c:]
     (acc,) = _attend_heads(q, k, (v,), wp_ref[:], bias_ref[:],
-                           mask_ref[0].astype(f32), heads, scale, dt)
+                           mask_ref[0].astype(f32), heads, scale, dt,
+                           bsub=bsub)
     y = x_raw.astype(f32) + acc + bp_ref[0].astype(f32)
 
     h = y
@@ -335,12 +419,12 @@ def _kernel_block(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
         var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps)
         h = h * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
-    h = jnp.dot(h.astype(dt), f1w_ref[:],
+    h = jnp.dot(h.astype(dt), f1w_ref[:].astype(dt),
                 preferred_element_type=f32) + f1b_ref[0].astype(f32)
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
-    h = jnp.dot(h.astype(dt), f2w_ref[:],
+    h = jnp.dot(h.astype(dt), f2w_ref[:].astype(dt),
                 preferred_element_type=f32) + f2b_ref[0].astype(f32)
-    out_ref[0, 0] = (y + h).astype(out_ref.dtype)
+    _unflat(y + h, out_ref)
 
 
 def fused_window_block(params: dict, x: jnp.ndarray,
@@ -395,23 +479,36 @@ def fused_window_block(params: dict, x: jnp.ndarray,
         n1s = jnp.ones((1, c), x.dtype)
         n1b = jnp.zeros((1, c), x.dtype)
 
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
-    hmat = pl.BlockSpec((c, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    hmat_t = pl.BlockSpec((hidden, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    hvec = pl.BlockSpec((1, hidden), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    pmspec = pl.BlockSpec((1, twn, 1), lambda i, j: (j, 0, 0),
+    # one (C, 3C) projection matrix: the three QKV GEMMs become one
+    wqkv = jnp.concatenate([_linw(params, "wq"), _linw(params, "wk"),
+                            _linw(params, "wv")], axis=1)
+    bqkv = jnp.concatenate([_linb(params, "wq", c, x.dtype),
+                            _linb(params, "wk", c, x.dtype),
+                            _linb(params, "wv", c, x.dtype)], axis=1)
+
+    bsub = _pick_bsub(b, c, twn)
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
+    w3mat = pl.BlockSpec((c, 3 * c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    w3vec = pl.BlockSpec((1, 3 * c), lambda j, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    hmat = pl.BlockSpec((c, hidden), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec((1, twn, 1), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel_block, heads=heads,
                              scale=(c // heads) ** -0.5,
                              use_norm1=norm1 is not None,
                              use_padmask=padmask is not None,
-                             use_norm2=norm2 is not None)
+                             use_norm2=norm2 is not None,
+                             bsub=bsub)
     out = pl.pallas_call(
         kern,
-        grid=(b, nt),
+        grid=(nt, b // bsub),
         in_specs=[win,
-                  wmat, wvec, wmat, wvec, wmat, wvec, wmat, wvec,
+                  w3mat, w3vec, wmat, wvec,
                   rbias, mspec,
                   wvec, wvec, pmspec,
                   wvec, wvec, hmat, hvec, hmat_t, wvec],
@@ -419,9 +516,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, nt, twn, c), x.dtype),
         interpret=interpret,
     )(x4,
-      _linw(params, "wq"), _linb(params, "wq", c, x.dtype),
-      _linw(params, "wk"), _linb(params, "wk", c, x.dtype),
-      _linw(params, "wv"), _linb(params, "wv", c, x.dtype),
+      wqkv, bqkv,
       _linw(params, "proj"), _linb(params, "proj", c, x.dtype),
       bias_b, mask_b,
       n1s, n1b, pm4,

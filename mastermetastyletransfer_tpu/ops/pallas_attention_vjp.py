@@ -60,7 +60,8 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     dh = c // heads
 
     def proj(x, w_ref, b_ref):
-        return jnp.dot(x, w_ref[:], preferred_element_type=f32) + b_ref[0].astype(f32)
+        return jnp.dot(x, w_ref[:].astype(dt),
+                       preferred_element_type=f32) + b_ref[0].astype(f32)
 
     q = proj(x_q, wq_ref, bq_ref)
     k = proj(x_k, wk_ref, bk_ref)
@@ -205,7 +206,7 @@ def _bwd(mask_key, heads, interpret, res, g):
                              scale=(c // heads) ** -0.5)
     outs = pl.pallas_call(
         kern,
-        grid=(b, nt),
+        grid=(nt, b),
         in_specs=[win, win, win, win,
                   wmat, wvec, wmat, wvec, wmat, wvec, wmat,
                   rbias, mspec],
@@ -293,7 +294,8 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
     dh = c // heads
 
     def proj(x, w_ref, b_ref):
-        return jnp.dot(x, w_ref[:], preferred_element_type=f32) + b_ref[0].astype(f32)
+        return jnp.dot(x, w_ref[:].astype(dt),
+                       preferred_element_type=f32) + b_ref[0].astype(f32)
 
     v_s = proj(x_vs, ws_ref, bs_ref)
     v_h = proj(x_vh, wsh_ref, bsh_ref)
@@ -434,7 +436,7 @@ def _bwd_dual(mask_key, heads, interpret, res, g):
                              scale=(c // heads) ** -0.5)
     outs = pl.pallas_call(
         kern,
-        grid=(b, nt),
+        grid=(nt, b),
         in_specs=[win, win, win, win, win, win,
                   wmat, wvec, wmat, wvec, wmat,
                   rbias, mspec],

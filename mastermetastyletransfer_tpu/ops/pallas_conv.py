@@ -1,0 +1,76 @@
+"""Pallas phase-alignment kernel for the decoder's phase-space convs.
+
+The phase-space conv pipeline (ops/conv.py) computes each conv as one XLA
+VALID conv producing `big` (B, H+1, W+1, 4C'), then realigns phases:
+out[..., (2a+b)C'] = big[:, a:a+H, b:b+W, (2a+b)C']. As XLA ops that's four
+misaligned strided slices + a concat — ~2.8 ms device at 256^2x128 lanes
+against a ~0.3 ms bandwidth bound (scripts/probe_align.py). This kernel does
+the realignment in one pass.
+
+Mosaic constraints that shaped it (probed, scripts/probe_align.py):
+  * lane CONCAT of 32-lane slices taken at different lane offsets is
+    unsupported ("offset mismatch on non-concat dimension") — but a
+    lane-slice STORE whose source lane offset EQUALS its destination offset
+    never moves lanes, so the kernel writes each phase group in place.
+  * overlapping blocks are inexpressible, so the +1-row halo arrives as a
+    second input view (big[:, 1:]) — an XLA row slice is contiguous/cheap,
+    unlike the column/lane-strided ones.
+
+Exact: same values as the slice+concat chain, different schedule.
+Reference semantics: the phase algebra implements codes/decoder.py:23-55
+upsample/conv pairs exactly (see ops/conv.py derivations).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x0_ref, x1_ref, out_ref, *, c_out: int):
+    w = out_ref.shape[2]
+    for a in range(2):
+        xa = x0_ref[0] if a == 0 else x1_ref[0]      # (Ht, W+1, 4C)
+        for b in range(2):
+            sl = slice((2 * a + b) * c_out, (2 * a + b + 1) * c_out)
+            out_ref[0, :, :, sl] = xa[:, b:b + w, sl]
+
+
+def _pick_ht(h: int, cap: int = 16) -> int:
+    # cap=16: Mosaic double-buffers every block; cap 32 OOM'd VMEM at
+    # 256^2x128 lanes inside the full-model jit (17.86M/16M)
+    for t in range(min(cap, h), 0, -1):
+        if h % t == 0:
+            return t
+    return h
+
+
+def phase_align(big: jnp.ndarray, c_out: int, *,
+                interpret: bool = False) -> jnp.ndarray:
+    """(B, H+1, W+1, 4*c_out) VALID-conv output -> aligned phase tensor
+    (B, H, W, 4*c_out). Requires c_out % 32 == 0 (lane-slice granularity);
+    callers fall back to the XLA slice+concat chain otherwise."""
+    b, hp, wp, c4 = big.shape
+    h, w = hp - 1, wp - 1
+    assert c4 == 4 * c_out and c_out % 32 == 0
+    ht = _pick_ht(h)
+    n_h = h // ht
+
+    x0 = big[:, :h]
+    x1 = big[:, 1:h + 1]
+    spec = pl.BlockSpec((1, ht, wp, c4), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.BlockSpec((1, ht, w, c4), lambda i, j: (i, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, c_out=c_out),
+        grid=(b, n_h),
+        in_specs=[spec, spec],
+        out_specs=out,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c4), big.dtype),
+        interpret=interpret,
+    )(x0, x1)

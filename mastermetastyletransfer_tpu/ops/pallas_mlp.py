@@ -45,22 +45,31 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
         h = (h - mean) * jax.lax.rsqrt(var + eps)
         h = h * n_s_ref[0].astype(f32) + n_b_ref[0].astype(f32)
-    h = h.astype(x_ref.dtype)
-    h = jnp.dot(h, w1_ref[:], preferred_element_type=f32) + b1_ref[0].astype(f32)
+    dt = x_ref.dtype
+    h = h.astype(dt)
+    # NOTE: weights are stored f32; cast at load or the mixed-dtype dot
+    # silently promotes to an f32 matmul (~1/8 MXU peak).
+    h = jnp.dot(h, w1_ref[:].astype(dt),
+                preferred_element_type=f32) + b1_ref[0].astype(f32)
     # exact-erf GELU (torch nn.GELU default; parity with torchvision MLP)
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
-    h = jnp.dot(h.astype(x_ref.dtype), w2_ref[:],
+    h = jnp.dot(h.astype(dt), w2_ref[:].astype(dt),
                 preferred_element_type=f32) + b2_ref[0].astype(f32)
     out_ref[:] = (x + h).astype(out_ref.dtype)
 
 
 def _rows_tile(rows: int, c: int, hidden: int, budget_rows: int = 512) -> int:
-    """Row-tile size: multiple of 8 (fp32 sublane), <= budget."""
+    """Row-tile size: multiple of 8 (fp32 sublane), <= budget. Prefers an
+    exact divisor of `rows` (no pad); otherwise the caller pads the rows to
+    a tile multiple. NEVER returns `rows` itself when it exceeds the budget
+    — a (rows, 4C) f32 hidden buffer at e.g. rows=4900 OOMs the 16MB VMEM."""
     t = min(budget_rows, rows)
-    # shrink to a divisor-friendly multiple of 8
-    while t > 8 and rows % t:
-        t -= 8
-    return max(t - t % 8, 8) if rows % 8 == 0 else rows
+    probe = t - t % 8
+    while probe > 8 and rows % probe:
+        probe -= 8
+    if probe >= 8 and rows % probe == 0:
+        return probe
+    return max(8, t - t % 8)
 
 
 def fused_ln_mlp_residual(x: jnp.ndarray, mlp_params: dict,

@@ -51,7 +51,8 @@ def _bwd_kernel(x_ref, g_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref,
         h = xhat * n_s_ref[0].astype(f32) + n_b_ref[0].astype(f32)
     else:
         h = x
-    a = jnp.dot(h.astype(dt), w1_ref[:], preferred_element_type=f32)
+    a = jnp.dot(h.astype(dt), w1_ref[:].astype(dt),
+                preferred_element_type=f32)
     a = a + b1_ref[0].astype(f32)
     phi_big = 0.5 * (1.0 + _erf(a * _INV_SQRT2))          # Phi(a)
     z = a * phi_big                                        # gelu(a)

@@ -218,7 +218,8 @@ def main(argv=None):
     cfg = ModelConfig(compute_dtype=args.compute_dtype)
     if args.use_pallas:
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
-                          transformer=cfg.transformer.replace(use_pallas=True))
+                          transformer=cfg.transformer.replace(use_pallas=True),
+                          decoder=cfg.decoder.replace(use_pallas=True))
     params = init_master_model(jax.random.PRNGKey(0), cfg)
     if args.checkpoint:
         params = ckpt_lib.load_params_npz(args.checkpoint, params)

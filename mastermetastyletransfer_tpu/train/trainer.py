@@ -273,7 +273,8 @@ def config_from_args(args) -> ExperimentConfig:
     if args.use_pallas:
         model = model.replace(
             swin=model.swin.replace(use_pallas=True),
-            transformer=model.transformer.replace(use_pallas=True))
+            transformer=model.transformer.replace(use_pallas=True),
+            decoder=model.decoder.replace(use_pallas=True))
     return ExperimentConfig(
         model=model,
         loss=LossConfig(default_lambda_value=args.lambda_style),

@@ -77,7 +77,8 @@ def main():
     cfg = ModelConfig(compute_dtype=args.dtype)
     if args.pallas:
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
-                          transformer=cfg.transformer.replace(use_pallas=True))
+                          transformer=cfg.transformer.replace(use_pallas=True),
+                          decoder=cfg.decoder.replace(use_pallas=True))
     params = init_master_model(jax.random.PRNGKey(0), cfg)
     dt = jnp.dtype(args.dtype)
 

@@ -93,3 +93,27 @@ def test_swin_variants():
         params = init_swin_backbone(jax.random.PRNGKey(0), cfg)
         y = swin_backbone_apply(params, jnp.zeros((1, 64, 64, 3)), cfg)
         assert y.shape == (1, 8, 8, out_dim), (variant, y.shape)
+
+
+def test_style_transformer_windowed_fast_path_parity():
+    """Window-resident eval fast path == generic composed path (both k=1 and
+    k=2, non-divisible 36x36 grid exercising pad-token re-zeroing and masked
+    instance-norm stats)."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_transformer_apply_windowed,
+    )
+
+    cfg = StyleTransformerConfig(use_pallas=True)
+    params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+    fc = jax.random.normal(jax.random.PRNGKey(1), (2, 36, 36, 256)) * 0.5
+    fs = jax.random.normal(jax.random.PRNGKey(2), (2, 36, 36, 256)) * 0.5
+    for k in (1, 2):
+        want = style_transformer_apply(
+            params, fc, fs, cfg.replace(use_pallas=False), k=k)
+        got = style_transformer_apply_windowed(params, fc, fs, cfg, k=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2)
+        # the dispatcher must route to the windowed path
+        via = style_transformer_apply(params, fc, fs, cfg, k=k)
+        np.testing.assert_allclose(np.asarray(via), np.asarray(got),
+                                   rtol=0, atol=0)

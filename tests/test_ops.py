@@ -237,3 +237,22 @@ def test_cnn_decoder_fused_matches_unfused(rng):
     b = cnn_decoder_apply(params, x, cfg_u)
     assert a.shape == b.shape == (1, 64, 64, 3)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_cnn_decoder_pallas_phase_align_exact(rng):
+    """DecoderConfig.use_pallas (phase-align kernel, interpret mode on CPU)
+    must be bit-identical to the XLA slice+concat realignment."""
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+
+    cfg_x = DecoderConfig(fuse_upsample=True, use_pallas=False)
+    cfg_p = DecoderConfig(fuse_upsample=True, use_pallas=True)
+    params = init_cnn_decoder(jax.random.PRNGKey(0), cfg_x)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 256)).astype(np.float32)) * 0.1
+    a = cnn_decoder_apply(params, x, cfg_x)
+    b = cnn_decoder_apply(params, x, cfg_p)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
