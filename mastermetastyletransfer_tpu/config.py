@@ -104,6 +104,11 @@ class StyleTransformerConfig(_ConfigBase):
     decoder_use_Key_instance_norm_after_linear_transformation: bool = True
     decoder_exclude_MLP_after_Fcs_self_MHA: bool = False
     use_pallas: bool = False
+    # Traced-k (random layer count) implementation: "scan" (masked carry,
+    # 1/4 the reverse-mode graph, compiles everywhere) or "switch" (runs
+    # only the sampled depth, but its grad graph crashes this platform's
+    # XLA TPU compiler — see models/style_transformer.py).
+    traced_k_impl: str = "scan"
 
     def encoder_attn(self) -> AttentionConfig:
         return AttentionConfig(

@@ -616,12 +616,29 @@ def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
             Fc, Fs, Scale, Shift = one_iter(Fc, Fs, Scale, Shift, sub)
         return Fc
 
-    # Traced k in [1, max_k]: a lax.switch over unrolled branches executes
-    # ONLY the sampled depth (a masked lax.scan would always run max_k
-    # iterations — ~60% wasted transformer compute at max_k=4, E[k]=2.5).
-    # All branches share parameters and output shapes; reverse-mode
-    # differentiation flows through the taken branch.
+    # Traced k in [1, max_k]. Two implementations:
+    #  * "switch": lax.switch over unrolled depth branches — executes ONLY
+    #    the sampled depth (no wasted compute), but its reverse-mode graph
+    #    holds max_k full transformer stacks and SIGSEGVs this platform's
+    #    XLA TPU compiler (isolated: scripts/probe_train_compile.py —
+    #    grad_full_switchk crashes, grad_full_k1_rng compiles).
+    #  * "scan": ONE iteration body scanned max_k times with a masked carry
+    #    (iteration i applies only while i < k) — ~1/4 the graph, compiles
+    #    everywhere; always runs max_k iterations (~E[k]/max_k waste).
     rngs = jax.random.split(rng if rng is not None else jax.random.PRNGKey(0), max_k)
+
+    if cfg.traced_k_impl == "scan":
+        def body(carry, i):
+            Fc, Fs, Scale, Shift = carry
+            Fc2, Fs2, Scale2, Shift2 = one_iter(Fc, Fs, Scale, Shift, rngs[i])
+            keep = i < k
+            sel = lambda new, old: jnp.where(keep, new, old)
+            return (sel(Fc2, Fc), sel(Fs2, Fs), sel(Scale2, Scale),
+                    sel(Shift2, Shift)), None
+
+        (Fc, _, _, _), _ = jax.lax.scan(
+            body, (Fc, Fs, Scale, Shift), jnp.arange(max_k))
+        return Fc
 
     def make_branch(depth):
         def branch(operands):

@@ -158,7 +158,7 @@ def _align(big: jnp.ndarray, h: int, w: int, c_out: int,
     if use_pallas and c_out % 32 == 0:
         from mastermetastyletransfer_tpu.ops.pallas_conv import phase_align
         interpret = jax.default_backend() != "tpu"
-        return phase_align(big, c_out, interpret=interpret)
+        return phase_align(big, c_out, interpret)
     subs = [big[:, a:a + h, bb:bb + w,
                 (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
             for a in range(2) for bb in range(2)]

@@ -35,8 +35,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mastermetastyletransfer_tpu.ops.pallas_attention import (
     _bias_big, _expand_mask, _geometry, _linb, _linw, _pad_windows,
-    _specs, _tiles, _untile, fused_window_attention,
+    _pick_bsub, _specs, _tiles, _untile, fused_window_attention,
 )
+
+
+def _bh_dims(bsub: int):
+    """dot_general dim numbers for the per-image attention math: with
+    BSUB > 1 the image axis is the ONE batch dim Mosaic allows."""
+    if bsub > 1:
+        return ((((2,), (2,)), ((0,), (0,))),   # a @ b^T   (contract last)
+                (((2,), (1,)), ((0,), (0,))))   # a @ b     (rows x rows)
+    return ((((1,), (1,)), ((), ())),
+            (((1,), (0,)), ((), ())))
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
@@ -45,18 +55,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref,
                 dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref, dbv_ref,
                 dwp_ref, dbp_ref, dbias_ref,
-                *, heads: int, scale: float):
+                *, heads: int, scale: float, bsub: int):
     f32 = jnp.float32
     i = pl.program_id(0)
     j = pl.program_id(1)
     first = jnp.logical_and(i == 0, j == 0)
     dt = q_ref.dtype
 
-    x_q = q_ref[0, 0]
-    x_k = k_ref[0, 0]
-    x_v = v_ref[0, 0]
-    g = g_ref[0, 0].astype(f32)
-    twn, c = g.shape
+    from mastermetastyletransfer_tpu.ops.pallas_attention import _flat, _unflat
+
+    x_q = _flat(q_ref)
+    x_k = _flat(k_ref)
+    x_v = _flat(v_ref)
+    g = _flat(g_ref).astype(f32)
+    rows, c = g.shape
+    twn = rows // bsub
     dh = c // heads
 
     def proj(x, w_ref, b_ref):
@@ -67,11 +80,21 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     k = proj(x_k, wk_ref, bk_ref)
     v = proj(x_v, wv_ref, bv_ref)
     qs = (q * scale).astype(dt)
+    q_c = q.astype(dt)
     kc = k.astype(dt)
     vc = v.astype(dt)
     gc = g.astype(dt)
     wp = wp_ref[:].astype(dt)
     mask = mask_ref[0].astype(f32)
+
+    def img(x):
+        return x.reshape(bsub, twn, -1) if bsub > 1 else x
+
+    qs3, q3, k3, v3 = img(qs), img(q_c), img(kc), img(vc)
+    ddt, ddn = _bh_dims(bsub)
+
+    def flatten(x3):
+        return x3.reshape(rows, -1) if bsub > 1 else x3
 
     dq_parts = []
     dk_parts = []
@@ -80,36 +103,41 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     dwp_rows = []
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(qs[:, sl], kc[:, sl], (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(qs3[..., sl], k3[..., sl], ddt,
                                 preferred_element_type=f32)
         s = s + bias_ref[h].astype(f32) + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)            # (TWN, TWN)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)        # (BSUB, TWN, TWN)
         pc = p.astype(dt)
 
-        do_h = jnp.dot(gc, wp[sl, :].T, preferred_element_type=f32)  # (TWN, dh)
-        o_h = jnp.dot(pc, vc[:, sl], preferred_element_type=f32)     # (TWN, dh)
-        dwp_rows.append(jnp.dot(o_h.astype(dt).T, gc,
-                                preferred_element_type=f32))          # (dh, C)
+        do_h = jnp.dot(gc, wp[sl, :].T, preferred_element_type=f32)
+        do_c = img(do_h.astype(dt))                       # (BSUB, TWN, dh)
+        o_h = jax.lax.dot_general(pc, v3[..., sl], ddn,
+                                  preferred_element_type=f32)
+        # shared-weight grad: sum over images AND rows -> flat 2-D GEMM
+        dwp_rows.append(jnp.dot(flatten(o_h).astype(dt).T, gc,
+                                preferred_element_type=f32))  # (dh, C)
 
-        do_c = do_h.astype(dt)
-        dp = jax.lax.dot_general(do_c, vc[:, sl], (((1,), (1,)), ((), ())),
-                                 preferred_element_type=f32)          # (TWN, TWN)
+        dp = jax.lax.dot_general(do_c, v3[..., sl], ddt,
+                                 preferred_element_type=f32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_rows.append(ds)
+        dbias_rows.append(jnp.sum(ds, axis=0) if bsub > 1 else ds)
         ds_c = ds.astype(dt)
 
-        dq_parts.append(scale * jnp.dot(ds_c, kc[:, sl],
-                                        preferred_element_type=f32))
-        # dk_h = scale * dS^T q_h (q unscaled)
-        dk_parts.append(scale * jax.lax.dot_general(
-            ds_c, q.astype(dt)[:, sl],
-            (((0,), (0,)), ((), ())), preferred_element_type=f32))
-        dv_parts.append(jax.lax.dot_general(
-            pc, do_c, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dq_parts.append(flatten(scale * jax.lax.dot_general(
+            ds_c, k3[..., sl], ddn, preferred_element_type=f32)))
+        # dk_h = scale * dS^T q_h (q unscaled): transpose via swapped dims
+        if bsub > 1:
+            dsT = (((1,), (1,)), ((0,), (0,)))
+        else:
+            dsT = (((0,), (0,)), ((), ()))
+        dk_parts.append(flatten(scale * jax.lax.dot_general(
+            ds_c, q3[..., sl], dsT, preferred_element_type=f32)))
+        dv_parts.append(flatten(jax.lax.dot_general(
+            pc, do_c, dsT, preferred_element_type=f32)))
 
-    dq = jnp.concatenate(dq_parts, axis=-1)                   # (TWN, C)
+    dq = jnp.concatenate(dq_parts, axis=-1)                   # (rows, C)
     dk = jnp.concatenate(dk_parts, axis=-1)
     dv = jnp.concatenate(dv_parts, axis=-1)
     dwp_c = jnp.concatenate(dwp_rows, axis=0)                 # (C, C)
@@ -119,9 +147,9 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     dxq = jnp.dot(dq.astype(dt), wq_ref[:].T.astype(dt), preferred_element_type=f32)
     dxk = jnp.dot(dk.astype(dt), wk_ref[:].T.astype(dt), preferred_element_type=f32)
     dxv = jnp.dot(dv.astype(dt), wv_ref[:].T.astype(dt), preferred_element_type=f32)
-    dq_ref[0, 0] = dxq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dxk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dxv.astype(dv_ref.dtype)
+    _unflat(dxq, dq_ref)
+    _unflat(dxk, dk_ref)
+    _unflat(dxv, dv_ref)
 
     dwq_c = jnp.dot(x_q.T, dq.astype(dt), preferred_element_type=f32)
     dwk_c = jnp.dot(x_k.T, dk.astype(dt), preferred_element_type=f32)
@@ -196,17 +224,23 @@ def _bwd(mask_key, heads, interpret, res, g):
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    # NOTE: the batched (bsub>1) backward crashes the Mosaic compiler
+    # (SIGSEGV, scripts/probe_bwd.py isolates it; the middle-dim
+    # dS^T-style batched contraction is the prime suspect). The kernel
+    # supports bsub>1 and passes interpret-mode parity; re-enable via
+    # _pick_bsub(b, c, 2 * twn) when the toolchain accepts it.
+    bsub = 1
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     f32 = jnp.float32
     acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
                                       memory_space=pltpu.VMEM)
     acc3 = pl.BlockSpec((heads, twn, twn), lambda i, j: (0, 0, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_bwd_kernel, heads=heads,
-                             scale=(c // heads) ** -0.5)
+                             scale=(c // heads) ** -0.5, bsub=bsub)
     outs = pl.pallas_call(
         kern,
-        grid=(nt, b),
+        grid=(nt, b // bsub),
         in_specs=[win, win, win, win,
                   wmat, wvec, wmat, wvec, wmat, wvec, wmat,
                   rbias, mspec],
@@ -273,7 +307,7 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
                      dq_ref, dk_ref, dvs_ref, dvh_ref,
                      dws_ref, dbs_ref, dwsh_ref, dbsh_ref,
                      dwp_ref, dbp_ref, dbias_ref,
-                     *, heads: int, scale: float):
+                     *, heads: int, scale: float, bsub: int):
     """Backward for the dual-value kernel: one softmax, two value streams
     (sigma from v_scale, mu from v_shift) through the SHARED output
     projection. q/k arrive pre-projected, so their grads flow straight out;
@@ -284,13 +318,16 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
     first = jnp.logical_and(i == 0, j == 0)
     dt = vs_ref.dtype
 
-    q = q_ref[0, 0].astype(f32)
-    k = k_ref[0, 0].astype(f32)
-    x_vs = vs_ref[0, 0]
-    x_vh = vh_ref[0, 0]
-    gs = gs_ref[0, 0].astype(f32)
-    gh = gh_ref[0, 0].astype(f32)
-    twn, c = q.shape
+    from mastermetastyletransfer_tpu.ops.pallas_attention import _flat, _unflat
+
+    q = _flat(q_ref).astype(f32)
+    k = _flat(k_ref).astype(f32)
+    x_vs = _flat(vs_ref)
+    x_vh = _flat(vh_ref)
+    gs = _flat(gs_ref).astype(f32)
+    gh = _flat(gh_ref).astype(f32)
+    rows, c = q.shape
+    twn = rows // bsub
     dh = c // heads
 
     def proj(x, w_ref, b_ref):
@@ -300,6 +337,7 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
     v_s = proj(x_vs, ws_ref, bs_ref)
     v_h = proj(x_vh, wsh_ref, bsh_ref)
     qs = (q * scale).astype(dt)
+    q_c = q.astype(dt)
     kc = k.astype(dt)
     vsc = v_s.astype(dt)
     vhc = v_h.astype(dt)
@@ -308,11 +346,24 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
     wp = wp_ref[:].astype(dt)
     mask = mask_ref[0].astype(f32)
 
+    def img(x):
+        return x.reshape(bsub, twn, -1) if bsub > 1 else x
+
+    def flatten(x3):
+        return x3.reshape(rows, -1) if bsub > 1 else x3
+
+    qs3, q3, k3, vs3, vh3 = img(qs), img(q_c), img(kc), img(vsc), img(vhc)
+    ddt, ddn = _bh_dims(bsub)
+    if bsub > 1:
+        dsT = (((1,), (1,)), ((0,), (0,)))
+    else:
+        dsT = (((0,), (0,)), ((), ()))
+
     dq_parts, dk_parts, dvs_parts, dvh_parts = [], [], [], []
     dwp_rows, dbias_rows = [], []
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(qs[:, sl], kc[:, sl], (((1,), (1,)), ((), ())),
+        s = jax.lax.dot_general(qs3[..., sl], k3[..., sl], ddt,
                                 preferred_element_type=f32)
         s = s + bias_ref[h].astype(f32) + mask
         s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -320,34 +371,36 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         pc = p.astype(dt)
 
-        do_s = jnp.dot(gsc, wp[sl, :].T, preferred_element_type=f32)
-        do_h = jnp.dot(ghc, wp[sl, :].T, preferred_element_type=f32)
-        o_s = jnp.dot(pc, vsc[:, sl], preferred_element_type=f32)
-        o_h = jnp.dot(pc, vhc[:, sl], preferred_element_type=f32)
+        do_s = img(jnp.dot(gsc, wp[sl, :].T,
+                           preferred_element_type=f32).astype(dt))
+        do_h = img(jnp.dot(ghc, wp[sl, :].T,
+                           preferred_element_type=f32).astype(dt))
+        o_s = jax.lax.dot_general(pc, vs3[..., sl], ddn,
+                                  preferred_element_type=f32)
+        o_h = jax.lax.dot_general(pc, vh3[..., sl], ddn,
+                                  preferred_element_type=f32)
         # shared projection: dWp_h = o_s^T gs + o_h^T gh
         dwp_rows.append(
-            jnp.dot(o_s.astype(dt).T, gsc, preferred_element_type=f32)
-            + jnp.dot(o_h.astype(dt).T, ghc, preferred_element_type=f32))
+            jnp.dot(flatten(o_s).astype(dt).T, gsc, preferred_element_type=f32)
+            + jnp.dot(flatten(o_h).astype(dt).T, ghc,
+                      preferred_element_type=f32))
 
-        do_sc = do_s.astype(dt)
-        do_hc = do_h.astype(dt)
-        dp = (jax.lax.dot_general(do_sc, vsc[:, sl], (((1,), (1,)), ((), ())),
+        dp = (jax.lax.dot_general(do_s, vs3[..., sl], ddt,
                                   preferred_element_type=f32)
-              + jax.lax.dot_general(do_hc, vhc[:, sl], (((1,), (1,)), ((), ())),
+              + jax.lax.dot_general(do_h, vh3[..., sl], ddt,
                                     preferred_element_type=f32))
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dbias_rows.append(ds)
+        dbias_rows.append(jnp.sum(ds, axis=0) if bsub > 1 else ds)
         ds_c = ds.astype(dt)
 
-        dq_parts.append(scale * jnp.dot(ds_c, kc[:, sl],
-                                        preferred_element_type=f32))
-        dk_parts.append(scale * jax.lax.dot_general(
-            ds_c, q.astype(dt)[:, sl], (((0,), (0,)), ((), ())),
-            preferred_element_type=f32))
-        dvs_parts.append(jax.lax.dot_general(
-            pc, do_sc, (((0,), (0,)), ((), ())), preferred_element_type=f32))
-        dvh_parts.append(jax.lax.dot_general(
-            pc, do_hc, (((0,), (0,)), ((), ())), preferred_element_type=f32))
+        dq_parts.append(flatten(scale * jax.lax.dot_general(
+            ds_c, k3[..., sl], ddn, preferred_element_type=f32)))
+        dk_parts.append(flatten(scale * jax.lax.dot_general(
+            ds_c, q3[..., sl], dsT, preferred_element_type=f32)))
+        dvs_parts.append(flatten(jax.lax.dot_general(
+            pc, do_s, dsT, preferred_element_type=f32)))
+        dvh_parts.append(flatten(jax.lax.dot_general(
+            pc, do_h, dsT, preferred_element_type=f32)))
 
     dq = jnp.concatenate(dq_parts, axis=-1)
     dk = jnp.concatenate(dk_parts, axis=-1)
@@ -356,12 +409,12 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
     dwp_c = jnp.concatenate(dwp_rows, axis=0)
     dbias_c = jnp.stack(dbias_rows)
 
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dvs_ref[0, 0] = jnp.dot(dvs.astype(dt), ws_ref[:].T.astype(dt),
-                            preferred_element_type=f32).astype(dvs_ref.dtype)
-    dvh_ref[0, 0] = jnp.dot(dvh.astype(dt), wsh_ref[:].T.astype(dt),
-                            preferred_element_type=f32).astype(dvh_ref.dtype)
+    _unflat(dq, dq_ref)
+    _unflat(dk, dk_ref)
+    _unflat(jnp.dot(dvs.astype(dt), ws_ref[:].T.astype(dt),
+                    preferred_element_type=f32), dvs_ref)
+    _unflat(jnp.dot(dvh.astype(dt), wsh_ref[:].T.astype(dt),
+                    preferred_element_type=f32), dvh_ref)
 
     dws_c = jnp.dot(x_vs.T, dvs.astype(dt), preferred_element_type=f32)
     dwsh_c = jnp.dot(x_vh.T, dvh.astype(dt), preferred_element_type=f32)
@@ -426,17 +479,18 @@ def _bwd_dual(mask_key, heads, interpret, res, g):
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads)
+    bsub = 1  # see note in _bwd: bsub>1 crashes the Mosaic compiler
+    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     f32 = jnp.float32
     acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
                                       memory_space=pltpu.VMEM)
     acc3 = pl.BlockSpec((heads, twn, twn), lambda i, j: (0, 0, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_bwd_kernel_dual, heads=heads,
-                             scale=(c // heads) ** -0.5)
+                             scale=(c // heads) ** -0.5, bsub=bsub)
     outs = pl.pallas_call(
         kern,
-        grid=(nt, b),
+        grid=(nt, b // bsub),
         in_specs=[win, win, win, win, win, win,
                   wmat, wvec, wmat, wvec, wmat,
                   rbias, mspec],

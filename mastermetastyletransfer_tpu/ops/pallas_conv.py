@@ -40,24 +40,32 @@ def _kernel(x0_ref, x1_ref, out_ref, *, c_out: int):
             out_ref[0, :, :, sl] = xa[:, b:b + w, sl]
 
 
-def _pick_ht(h: int, cap: int = 16) -> int:
-    # cap=16: Mosaic double-buffers every block; cap 32 OOM'd VMEM at
-    # 256^2x128 lanes inside the full-model jit (17.86M/16M)
+def _pick_ht(h: int, wp: int, c4: int) -> int:
+    """Row-tile height budgeted against the 16MB scoped VMEM: Mosaic
+    double-buffers the two input views and the output, so the block byte
+    size (ht*wp*c4*2B) must stay ~<=1.2MB (cap 32 OOM'd at 256^2x128 lanes,
+    17.86M/16M; cap 16 OOM'd again at 512-wide rows, 17.73M/16M)."""
+    cap = max(1, (1 << 20) // (wp * c4 * 2))
     for t in range(min(cap, h), 0, -1):
         if h % t == 0:
             return t
-    return h
+    return 1
 
 
-def phase_align(big: jnp.ndarray, c_out: int, *,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def phase_align(big: jnp.ndarray, c_out: int,
                 interpret: bool = False) -> jnp.ndarray:
     """(B, H+1, W+1, 4*c_out) VALID-conv output -> aligned phase tensor
     (B, H, W, 4*c_out). Requires c_out % 32 == 0 (lane-slice granularity);
-    callers fall back to the XLA slice+concat chain otherwise."""
+    callers fall back to the XLA slice+concat chain otherwise.
+
+    Differentiable: the align is a permutation whose phase lane groups are
+    disjoint, so the backward is four pads (one per phase) concatenated
+    along lanes — plain XLA (training-only cost)."""
     b, hp, wp, c4 = big.shape
     h, w = hp - 1, wp - 1
     assert c4 == 4 * c_out and c_out % 32 == 0
-    ht = _pick_ht(h)
+    ht = _pick_ht(h, wp, c4)
     n_h = h // ht
 
     x0 = big[:, :h]
@@ -74,3 +82,22 @@ def phase_align(big: jnp.ndarray, c_out: int, *,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c4), big.dtype),
         interpret=interpret,
     )(x0, x1)
+
+
+def _phase_align_fwd(big, c_out, interpret):
+    return phase_align(big, c_out, interpret), big.shape
+
+
+def _phase_align_bwd(c_out, interpret, big_shape, g):
+    b, hp, wp, c4 = big_shape
+    h, w = hp - 1, wp - 1
+    parts = []
+    for a in range(2):
+        for bb in range(2):
+            sl = slice((2 * a + bb) * c_out, (2 * a + bb + 1) * c_out)
+            parts.append(jnp.pad(g[..., sl],
+                                 ((0, 0), (a, 1 - a), (bb, 1 - bb), (0, 0))))
+    return (jnp.concatenate(parts, axis=-1),)
+
+
+phase_align.defvjp(_phase_align_fwd, _phase_align_bwd)

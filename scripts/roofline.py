@@ -123,6 +123,10 @@ def part_decoder(batch=8):
             dt = timeit(f, p, x)
             flops = batch * hw * hw * 4 * ci * (4 * co) * 2
             report(f"dec_{name}_phasefused", dt, flops=flops)
+            fp = jax.jit(functools.partial(upsample_conv_fused,
+                                           keep_phase=True, use_pallas=True))
+            report(f"dec_{name}_phasefused_pallas", timeit(fp, p, x),
+                   flops=flops)
             # unfused: upsample + reflect conv on the fine grid
             from mastermetastyletransfer_tpu.ops.conv import upsample_nearest
             g = jax.jit(lambda p, x: reflect_conv(p, upsample_nearest(x, 2)))
@@ -141,6 +145,10 @@ def part_decoder(batch=8):
             dt = timeit(f, p, xp)
             flops = batch * ph * ph * 4 * (4 * ci) * (4 * co) * 2
             report(f"dec_{name}_phase", dt, flops=flops)
+            fp = jax.jit(functools.partial(phase_conv3x3,
+                                           interleave=(kind == "last"),
+                                           use_pallas=True))
+            report(f"dec_{name}_phase_pallas", timeit(fp, p, xp), flops=flops)
             xf = jax.random.normal(key, (batch, hw, hw, ci), jnp.bfloat16)
             g = jax.jit(functools.partial(reflect_conv, relu=(kind != "last")))
             dt = timeit(g, p, xf)
@@ -403,11 +411,81 @@ def part_geom(batch=16):
         report(f"geom_{tag}_gather", timeit(gather, x))
 
 
+# ---------------------------------------------------------------------------
+# 8. misc relayouts: phase interleave, edge pads, patch-embed pieces
+# ---------------------------------------------------------------------------
+
+def part_misc(batch=8):
+    from mastermetastyletransfer_tpu.ops.conv import phase_interleave
+
+    p5 = jax.random.normal(jax.random.PRNGKey(0), (batch, 128, 128, 256),
+                           jnp.bfloat16)
+    report("misc_interleave_128_256", timeit(jax.jit(phase_interleave), p5))
+    p8 = jax.random.normal(jax.random.PRNGKey(0), (batch, 256, 256, 12),
+                           jnp.bfloat16)
+    report("misc_interleave_256_12", timeit(jax.jit(phase_interleave), p8))
+
+    x6 = jax.random.normal(jax.random.PRNGKey(0), (batch, 256, 256, 64),
+                           jnp.bfloat16)
+    pad = jax.jit(lambda x: jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                                    mode="edge"))
+    report("misc_edgepad_256_64", timeit(pad, x6))
+
+    # swin patch-embed pieces at 512^2 (batch 16: content+style)
+    img = jax.random.uniform(jax.random.PRNGKey(1), (16, 512, 512, 3),
+                             jnp.bfloat16)
+
+    @jax.jit
+    def s2d(img):
+        b, h, w, cin = img.shape
+        p = img.reshape(b, h // 4, 4, w // 4, 4, cin)
+        return p.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 4, w // 4, 48)
+
+    report("misc_embed_s2d_relayout", timeit(s2d, img))
+    from mastermetastyletransfer_tpu.ops.norm import layer_norm
+    feat = jax.random.normal(jax.random.PRNGKey(2), (16, 128, 128, 128),
+                             jnp.bfloat16)
+    sc = jnp.ones((128,))
+    bi = jnp.zeros((128,))
+    report("misc_embed_ln", timeit(jax.jit(layer_norm), feat, sc, bi))
+
+
+# ---------------------------------------------------------------------------
+# 9. fused LN+MLP+residual kernel vs XLA, across row-tile budgets
+# ---------------------------------------------------------------------------
+
+def part_mlp(batch=8):
+    import mastermetastyletransfer_tpu.ops.pallas_mlp as pm
+    from mastermetastyletransfer_tpu.ops.mlp import init_mlp, mlp_apply
+
+    rows, c, hidden = batch * 100 * 49, 256, 1024   # ST shape at 512^2
+    p = init_mlp(jax.random.PRNGKey(0), c, hidden)
+    x = jax.random.normal(jax.random.PRNGKey(1), (rows, c), jnp.bfloat16)
+    flops = rows * c * hidden * 2 * 2
+
+    f_x = jax.jit(lambda p, x: x + mlp_apply(p, x, dropout=0.0,
+                                             deterministic=True))
+    report("mlp_st_xla", timeit(f_x, p, x), flops=flops)
+
+    orig = pm._rows_tile
+    for budget in (256, 512, 1024):
+        pm._rows_tile = lambda r, cc, h, budget_rows=budget: orig(
+            r, cc, h, budget_rows)
+        f_p = jax.jit(lambda p, x: pm.fused_ln_mlp_residual(x, p, None))
+        try:
+            dt = timeit(f_p, p, x)
+            report(f"mlp_st_pallas_b{budget}", dt, flops=flops)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"bench": f"mlp_st_pallas_b{budget}",
+                              "error": str(e)[:160]}), flush=True)
+    pm._rows_tile = orig
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="all",
                     choices=["matmul", "decoder", "block", "core", "embed",
-                             "conv6", "geom", "all"])
+                             "conv6", "geom", "misc", "mlp", "all"])
     args = ap.parse_args()
     if args.part in ("matmul", "all"):
         part_matmul()
@@ -423,6 +501,10 @@ def main():
         part_conv6()
     if args.part in ("geom", "all"):
         part_geom()
+    if args.part in ("misc", "all"):
+        part_misc()
+    if args.part in ("mlp", "all"):
+        part_mlp()
 
 
 if __name__ == "__main__":

@@ -48,10 +48,12 @@ def test_style_transformer_unrolled_vs_scan():
     fs = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 16, 32))
     for k in [1, 2, 3]:
         unrolled = style_transformer_apply(params, fc, fs, cfg, k=k)
-        scanned = style_transformer_apply(params, fc, fs, cfg,
-                                          k=jnp.asarray(k), max_k=3)
-        np.testing.assert_allclose(np.asarray(unrolled), np.asarray(scanned),
-                                   atol=1e-5)
+        for impl in ("scan", "switch"):
+            traced = style_transformer_apply(
+                params, fc, fs, cfg.replace(traced_k_impl=impl),
+                k=jnp.asarray(k), max_k=3)
+            np.testing.assert_allclose(np.asarray(unrolled),
+                                       np.asarray(traced), atol=1e-5)
 
 
 def test_master_model_end_to_end():

@@ -256,3 +256,30 @@ def test_cnn_decoder_pallas_phase_align_exact(rng):
     a = cnn_decoder_apply(params, x, cfg_x)
     b = cnn_decoder_apply(params, x, cfg_p)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cnn_decoder_pallas_phase_align_grads(rng):
+    """phase_align has a custom VJP (the align is a lane-disjoint
+    permutation): decoder gradients must match the XLA path exactly."""
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+
+    cfg_x = DecoderConfig(use_pallas=False)
+    cfg_p = DecoderConfig(use_pallas=True)
+    params = init_cnn_decoder(jax.random.PRNGKey(0), cfg_x)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32)) * 0.1
+
+    def loss(cfg):
+        return lambda p, x: jnp.sum(cnn_decoder_apply(p, x, cfg) ** 2)
+
+    vx, gx = jax.value_and_grad(loss(cfg_x))(params, x)
+    vp, gp = jax.value_and_grad(loss(cfg_p))(params, x)
+    np.testing.assert_allclose(float(vx), float(vp), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(gx),
+                    jax.tree_util.tree_leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
