@@ -19,14 +19,16 @@ Design (constraints from /opt/skills/guides/pallas_guide.md and Mosaic):
     slicing; it rejects lane-splitting reshapes and >1-batch-dim matmuls,
     which shaped this design). Softmax normalization is deferred past the
     value matmul (divide the (TWN, dh) product, not the (TWN, TWN) probs).
-  * Attention logits for a whole tile run as ONE (TWN, dh) x (dh, TWN)
-    matmul per head -> (TWN, TWN, e.g. 196x196 for window 7, TW=4) instead
-    of TW separate 49x49 dribbles. Cross-window pairs are killed by a
-    precomputed additive mask (-1e9) which also carries the shifted-phase
-    region mask; the relative-position bias is expanded to block-diagonal
-    form once per call (tiny einsum, outside the kernel).
-  * The head loop accumulates the output projection on the fly:
-    out += (P_h V_h) @ W_p[h*dh:(h+1)*dh, :], so heads never concatenate.
+  * Two attention-core layouts (measured equal at the model level,
+    scripts/probe_core_layout.py — both are at this formulation's floor):
+    the single/dual attention kernels run DENSE (TWN, TWN) logits per image
+    with a precomputed additive mask (-1e9 cross-window + shift regions;
+    bias expanded block-diagonal), while the whole-BLOCK kernel runs a
+    PER-WINDOW batched core ((BSUB*TW, N, N) logits — exactly the valid
+    pairs, raw (nW, N, N) mask, resident (H, N, N) bias, no TWN^2 buffers,
+    which frees VMEM for BSUB=8 image batching).
+  * Heads' outputs concatenate along lanes and the output projection runs
+    as ONE (rows, C) x (C, C) matmul.
   * Logits/softmax accumulate in fp32 regardless of input dtype.
   * The window count is padded to a tile multiple (padded windows see a
     zero mask diagonal -> uniform softmax over garbage, cropped on untile);
@@ -362,33 +364,29 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     return _untile(sigma, nw, n), _untile(mu, nw, n)
 
 
-def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                  bias_ref, mask_ref,
-                  n1s_ref, n1b_ref, pm_ref,
-                  n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                  out_ref, *, heads: int, scale: float, use_norm1: bool,
-                  use_padmask: bool, use_norm2: bool, bsub: int,
-                  eps: float = 1e-5):
-    """Whole transformer block in one program: LN1 -> self-attention +
-    residual + [LayerNorm ->] MLP + residual, for BSUB images' tiles at once
-    (projections/MLP run on (BSUB*TWN, C) rows — MXU-width M).
-
-    Q/K/V weights arrive pre-concatenated as ONE (C, 3C) matrix so the three
-    projections are a single GEMM; q/k/v split off as C-granular lane slices.
-
-    LN1 runs IN-KERNEL; the validity mask then zeroes the norm1 view of
-    padding tokens (the reference zero-pads AFTER norm1, so padded tokens
-    enter the projections as exact zeros — a padded token's raw LayerNorm
-    would be its bias). This also makes garbage rows of a padded-resident
-    stage inert. LN2/MLP are per-token, so padded rows compute garbage that
-    the caller's untile/crop drops."""
+def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                     bias_ref, mask_ref,
+                     n1s_ref, n1b_ref, pm_ref,
+                     n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                     out_ref, *, heads: int, scale: float, use_norm1: bool,
+                     use_padmask: bool, use_norm2: bool, bsub: int,
+                     eps: float = 1e-5):
+    """Whole transformer block with a PER-WINDOW batched attention core:
+    x block (BSUB, 1, TW, N, C); logits/softmax run as (BSUB*TW, N, N)
+    batched blocks — exactly the valid window pairs, no TWN^2 dense tile,
+    no block-diagonal mask/bias expansion (bias stays (H, N, N) resident,
+    mask is the raw (nW_pad, N, N) shift mask sliced per tile). The freed
+    VMEM doubles BSUB, widening the projection/MLP GEMMs."""
     from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
 
     f32 = jnp.float32
     dt = x_ref.dtype
-    c = x_ref.shape[-1]
+    _, _, tw, n, c = x_ref.shape
+    rows = bsub * tw * n
+    nb = bsub * tw
+    dh = c // heads
 
-    x_raw = _flat(x_ref)
+    x_raw = x_ref[:, 0].reshape(rows, c)
     if use_norm1:
         xf = x_raw.astype(f32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -399,32 +397,51 @@ def _kernel_block(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     else:
         ln = x_raw
     if use_padmask:
-        pm = pm_ref[0].astype(dt)
+        pm = pm_ref[0].reshape(tw * n, 1).astype(dt)
         if bsub > 1:
             pm = jnp.concatenate([pm] * bsub, axis=0)
         ln = ln * pm
     qkv = jnp.dot(ln, wqkv_ref[:].astype(dt),
                   preferred_element_type=f32) + bqkv_ref[0].astype(f32)
-    q = qkv[:, :c]
-    k = qkv[:, c:2 * c]
-    v = qkv[:, 2 * c:]
-    (acc,) = _attend_heads(q, k, (v,), wp_ref[:], bias_ref[:],
-                           mask_ref[0].astype(f32), heads, scale, dt,
-                           bsub=bsub)
+    qkv = qkv.astype(dt)
+    q3 = (qkv[:, :c] * scale).reshape(nb, n, c)
+    k3 = qkv[:, c:2 * c].reshape(nb, n, c)
+    v3 = qkv[:, 2 * c:].reshape(nb, n, c)
+
+    m = mask_ref[0].astype(f32)                    # (TW, N, N)
+    mt = jnp.concatenate([m] * bsub, axis=0) if bsub > 1 else m
+
+    o_heads = []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        comb = mt + bias_ref[h].astype(f32)        # broadcast (N,N) over NB
+        s = jax.lax.dot_general(q3[..., sl], k3[..., sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        s = s + comb
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(e.astype(dt), v3[..., sl],
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        o_heads.append((o * recip).astype(dt))
+    allo = jnp.concatenate(o_heads, axis=-1).reshape(rows, c)
+    acc = jnp.dot(allo, wp_ref[:].astype(dt), preferred_element_type=f32)
     y = x_raw.astype(f32) + acc + bp_ref[0].astype(f32)
 
-    h = y
+    h2 = y
     if use_norm2:
-        mean = jnp.mean(h, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(h - mean), axis=-1, keepdims=True)
-        h = (h - mean) * jax.lax.rsqrt(var + eps)
-        h = h * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
-    h = jnp.dot(h.astype(dt), f1w_ref[:].astype(dt),
-                preferred_element_type=f32) + f1b_ref[0].astype(f32)
-    h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
-    h = jnp.dot(h.astype(dt), f2w_ref[:].astype(dt),
-                preferred_element_type=f32) + f2b_ref[0].astype(f32)
-    _unflat(y + h, out_ref)
+        mean = jnp.mean(h2, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(h2 - mean), axis=-1, keepdims=True)
+        h2 = (h2 - mean) * jax.lax.rsqrt(var + eps)
+        h2 = h2 * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
+    h2 = jnp.dot(h2.astype(dt), f1w_ref[:].astype(dt),
+                 preferred_element_type=f32) + f1b_ref[0].astype(f32)
+    h2 = 0.5 * h2 * (1.0 + _erf(h2 * (0.5 ** 0.5)))
+    h2 = jnp.dot(h2.astype(dt), f2w_ref[:].astype(dt),
+                 preferred_element_type=f32) + f2b_ref[0].astype(f32)
+    out_ref[:, 0] = (y + h2).reshape(bsub, tw, n, c).astype(out_ref.dtype)
 
 
 def fused_window_block(params: dict, x: jnp.ndarray,
@@ -446,9 +463,11 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     b, nw, n, c = x.shape
     tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
 
-    x4 = _tiles(_pad_windows(x, nw_pad), nt)
-    bias_b = _bias_big(bias, tw)
-    mask_b = _expand_mask(mask, nt, tw, n, nw)
+    x5 = _pad_windows(x, nw_pad).reshape(b, nt, tw, n, c)
+    mask_pw = np.zeros((nw_pad, n, n), np.float32)
+    if mask is not None:
+        mask_pw[:nw] = np.asarray(mask, np.float32)
+    mask_pw = jnp.asarray(mask_pw.reshape(nt, tw, n, n), jnp.bfloat16)
 
     if padmask is not None and padmask.min() >= 1.0:
         padmask = None            # every token valid: skip the multiply
@@ -486,8 +505,22 @@ def fused_window_block(params: dict, x: jnp.ndarray,
                             _linb(params, "wk", c, x.dtype),
                             _linb(params, "wv", c, x.dtype)], axis=1)
 
-    bsub = _pick_bsub(b, c, twn)
-    win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
+    # per-window core frees the TWN^2 buffers -> roomier image batching
+    cap = min(8, max(1, 262144 // (c * twn)))
+    bsub = 1
+    for d in range(min(cap, b), 0, -1):
+        if b % d == 0:
+            bsub = d
+            break
+
+    win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wmat = pl.BlockSpec((c, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    wvec = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    rbias = pl.BlockSpec((heads, n, n), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, tw, n, n), lambda j, i: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
     w3mat = pl.BlockSpec((c, 3 * c), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM)
     w3vec = pl.BlockSpec((1, 3 * c), lambda j, i: (0, 0),
@@ -498,7 +531,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     pmspec = pl.BlockSpec((1, twn, 1), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
 
-    kern = functools.partial(_kernel_block, heads=heads,
+    kern = functools.partial(_kernel_block_pw, heads=heads,
                              scale=(c // heads) ** -0.5,
                              use_norm1=norm1 is not None,
                              use_padmask=padmask is not None,
@@ -507,18 +540,18 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     out = pl.pallas_call(
         kern,
         grid=(nt, b // bsub),
-        in_specs=[win,
+        in_specs=[win5,
                   w3mat, w3vec, wmat, wvec,
                   rbias, mspec,
                   wvec, wvec, pmspec,
                   wvec, wvec, hmat, hvec, hmat_t, wvec],
-        out_specs=win,
-        out_shape=jax.ShapeDtypeStruct((b, nt, twn, c), x.dtype),
+        out_specs=win5,
+        out_shape=jax.ShapeDtypeStruct((b, nt, tw, n, c), x.dtype),
         interpret=interpret,
-    )(x4,
+    )(x5,
       wqkv, bqkv,
       _linw(params, "proj"), _linb(params, "proj", c, x.dtype),
-      bias_b, mask_b,
+      bias, mask_pw,
       n1s, n1b, pm4,
       n2s, n2b, w1, b1, w2, b2)
-    return _untile(out, nw, n)
+    return out.reshape(b, nw_pad, n, c)[:, :nw]

