@@ -33,6 +33,19 @@ def test_golden_forward_stats():
     np.testing.assert_allclose(got, expected, rtol=2e-3, atol=2e-5)
 
 
+def test_golden_forward_tile():
+    """A pinned output TILE (not just statistics): catches compensating or
+    sign-symmetric numeric drift that mean/std/absmax miss (round-1 review
+    weak spot #8)."""
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c, s = _fixed_inputs()
+    out = np.asarray(master_apply(params, c, s, cfg, k=2))
+    np.testing.assert_allclose(out[0, 30:34, 30:34, 0],
+                               np.asarray(_GOLDEN["forward_tile_30_34_ch0"]),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_golden_loss_values():
     cfg = ExperimentConfig()
     vgg = init_vgg19_features(jax.random.PRNGKey(1))
@@ -67,6 +80,11 @@ _GOLDEN = {
                                 15.40848445892334),
     "loss_c_s_t": (0.9063376784324646, 0.5332991480827332,
                    3.039534330368042),
+    "forward_tile_30_34_ch0": [
+        [4.488906, 4.697586, 4.658623, 5.778028],
+        [3.96817, 4.283783, 4.369811, 5.408999],
+        [3.236602, 3.734064, 3.257784, 4.2878],
+        [4.902301, 5.249974, 4.892569, 5.100534]],
 }
 
 if __name__ == "__main__":

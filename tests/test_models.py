@@ -119,3 +119,36 @@ def test_style_transformer_windowed_fast_path_parity():
         via = style_transformer_apply(params, fc, fs, cfg, k=k)
         np.testing.assert_allclose(np.asarray(via), np.asarray(got),
                                    rtol=0, atol=0)
+
+
+def test_style_transformer_windowed_config_branches():
+    """Windowed fast path parity across the reference's config branches:
+    encoder norm, unprocessed-Key order, decoder affine IN, key-IN before
+    linear, MLP-less decoder self block, decoder without norm."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        _st_windowed_ok, style_transformer_apply_windowed,
+    )
+
+    variants = [
+        dict(encoder_use_norm=True),
+        dict(encoder_if_use_processed_Key_in_Scale_and_Shift_calculation=False),
+        dict(decoder_use_instance_norm_with_affine=True),
+        dict(decoder_use_Key_instance_norm_after_linear_transformation=False),
+        dict(decoder_exclude_MLP_after_Fcs_self_MHA=True),
+        dict(decoder_use_norm=False),
+    ]
+    fc = jax.random.normal(jax.random.PRNGKey(1), (1, 29, 29, 256)) * 0.5
+    fs = jax.random.normal(jax.random.PRNGKey(2), (1, 29, 29, 256)) * 0.5
+    for kw in variants:
+        cfg = StyleTransformerConfig(use_pallas=True, **kw)
+        assert _st_windowed_ok(cfg, True), kw
+        params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+        want = style_transformer_apply(
+            params, fc, fs, cfg.replace(use_pallas=False), k=1)
+        got = style_transformer_apply_windowed(params, fc, fs, cfg, k=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2, err_msg=str(kw))
+    # the regular-MHA tail must NOT take the windowed path
+    cfg = StyleTransformerConfig(
+        use_pallas=True, decoder_use_regular_MHA_instead_of_Swin_at_the_end=True)
+    assert not _st_windowed_ok(cfg, True)
