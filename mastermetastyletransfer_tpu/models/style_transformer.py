@@ -108,14 +108,16 @@ def style_swin_block_apply(params: dict, q: jnp.ndarray, k: jnp.ndarray,
 
     # Eval fast path: a full self-attention block (q=k=v, MLP-bearing) runs
     # as ONE fused Pallas kernel including norm1 (ops/attention.py).
+    # Dim gate: Mosaic needs 128-aligned lane counts (swin_T/S -> XLA).
     if (deterministic and attn_cfg.use_pallas
             and not exclude_mlp and q is k and k is v):
         from mastermetastyletransfer_tpu.ops.attention import (
-            fused_self_attention_block,
+            _pallas_dim_ok, fused_self_attention_block,
         )
-        return fused_self_attention_block(params, q, attn_cfg,
-                                          use_norm=use_norm,
-                                          valid_hw=valid_hw)
+        if _pallas_dim_ok(attn_cfg.dim):
+            return fused_self_attention_block(params, q, attn_cfg,
+                                              use_norm=use_norm,
+                                              valid_hw=valid_hw)
 
     if use_norm:
         n1 = lambda t: layer_norm(t, params["norm1"]["scale"], params["norm1"]["bias"])
@@ -367,7 +369,9 @@ def _st_windowed_ok(cfg: StyleTransformerConfig, deterministic: bool) -> bool:
     """The window-resident eval fast path needs: eval mode, Pallas on, zero
     dropouts, identical encoder/decoder window geometry (so one partition
     serves every attention), and the default windowed decoder tail."""
+    from mastermetastyletransfer_tpu.ops.attention import _pallas_dim_ok
     return (deterministic and cfg.use_pallas
+            and _pallas_dim_ok(cfg.encoder_dim)
             and cfg.encoder_dropout == 0.0 and cfg.decoder_dropout == 0.0
             and cfg.encoder_attention_dropout == 0.0
             and cfg.decoder_attention_dropout == 0.0

@@ -109,8 +109,14 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
     # pad to the window multiple once, run both blocks on the padded grid
     # (the fused kernel's validity mask keeps pad rows inert — garbage there
     # never reaches valid tokens), crop once at the stage end. Saves the
-    # crop+re-pad round trip between blocks.
-    fast = deterministic and cfg.use_pallas
+    # crop+re-pad round trip between blocks. MUST be gated exactly like the
+    # fused block kernel (the XLA fallback has no validity mask, so
+    # padded-resident garbage rows would leak into border windows): Mosaic
+    # needs 128-aligned dims, so swin_T/S (96/192) run the plain path.
+    from mastermetastyletransfer_tpu.ops.attention import _pallas_dim_ok
+    fast = (deterministic and cfg.use_pallas
+            and _pallas_dim_ok(cfg.embed_dim)
+            and _pallas_dim_ok(2 * cfg.embed_dim))
     from mastermetastyletransfer_tpu.ops.windows import pad_to_windows
     wh, ww = cfg.window_size
 

@@ -149,17 +149,25 @@ def _apply_values(attn, v_win, proj_params, cfg: AttentionConfig):
     return linear(proj_params, x)
 
 
+def _pallas_dim_ok(dim: int) -> bool:
+    """Mosaic requires 128-aligned lane counts for the kernels' sublane
+    merge/split reshapes ("unsupported shape cast" at C=96 on real
+    hardware — swin_T/S embed dims fall back to XLA; swin_B's 128/256 and
+    the style transformer's 256 run fused)."""
+    return dim % 128 == 0
+
+
 def _pallas_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
     """Single-V fused attention has a custom VJP (ops/pallas_attention_vjp)
     so it serves training too when attention dropout is off (the reference
     default); the dual-V / two-V / whole-block kernels are eval-only."""
-    return cfg.use_pallas and (
+    return cfg.use_pallas and _pallas_dim_ok(cfg.dim) and (
         deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0))
 
 
 def _pallas_eval_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
     """Eval-only fused paths (no VJP rule)."""
-    return cfg.use_pallas and deterministic
+    return cfg.use_pallas and deterministic and _pallas_dim_ok(cfg.dim)
 
 
 def _pallas_interpret() -> bool:

@@ -152,3 +152,19 @@ def test_style_transformer_windowed_config_branches():
     cfg = StyleTransformerConfig(
         use_pallas=True, decoder_use_regular_MHA_instead_of_Swin_at_the_end=True)
     assert not _st_windowed_ok(cfg, True)
+
+
+def test_swin_variants_pallas_parity():
+    """swin_T/S (embed dims 96/192): Mosaic rejects non-128-aligned lane
+    reshapes on real hardware, so use_pallas must fall back to the XLA path
+    (including disabling the padded-resident stages whose safety depends on
+    the fused kernel's validity mask) and still match exactly."""
+    for variant in ("swin_T", "swin_S"):
+        cfg_x = SwinConfig.for_variant(variant)
+        cfg_p = cfg_x.replace(use_pallas=True)
+        params = init_swin_backbone(jax.random.PRNGKey(0), cfg_x)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        want = swin_backbone_apply(params, x, cfg_x)
+        got = swin_backbone_apply(params, x, cfg_p)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-2, atol=2e-2, err_msg=variant)
