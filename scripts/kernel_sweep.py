@@ -37,8 +37,15 @@ from mastermetastyletransfer_tpu.config import AttentionConfig
 
 
 def _load_v1():
-    spec = importlib.util.spec_from_file_location(
-        "pallas_v1", os.path.join(os.path.dirname(__file__), "_pallas_v1.py"))
+    """Round-1 kernel snapshot for the layout comparison. The snapshot was a
+    local scratch file (never committed — its conclusion, 'dense flattened
+    logits beat the 3-D window-batched layout', is recorded in the r2
+    history and PERF.md); without it the sweep covers the CURRENT kernel
+    only."""
+    path = os.path.join(os.path.dirname(__file__), "_pallas_v1.py")
+    if not os.path.exists(path):
+        return None
+    spec = importlib.util.spec_from_file_location("pallas_v1", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     return mod
@@ -92,7 +99,10 @@ def main():
 
         print(f"== {name}: B={b} nW={nw} N={n} C={c} H={heads}", file=sys.stderr)
         for target in (256, 512, 1024, 2048):
-            for tag, mod in (("v1_dense", v1), ("v2_3d", v2)):
+            variants = [("v2_3d", v2)]
+            if v1 is not None:
+                variants.insert(0, ("v1_dense", v1))
+            for tag, mod in variants:
                 try:
                     fn = jax.jit(lambda q, k, vv, t=target, m=mod:
                                  m.fused_window_attention(
@@ -101,7 +111,7 @@ def main():
                     ms = timeit(fn, x, x, x)
                     fnb = jax.jit(lambda xx, t=target, m=mod:
                                   m.fused_window_block(
-                                      params, xx, xx, bias, mask, heads,
+                                      params, xx, bias, mask, heads,
                                       mlp, norm2, target_rows=t))
                     ms_b = timeit(fnb, x)
                     print(json.dumps({"shape": name, "layout": tag,
