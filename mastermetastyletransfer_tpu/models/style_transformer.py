@@ -9,9 +9,11 @@ Functional re-design of the reference modules:
 
 Everything is a pure function over a params pytree; `k` (the controllable
 stacked-layer count, ZS-L1 vs ZS-L3) is either a static python int (unrolled,
-inference) or a traced scalar handled by a lax.switch over unrolled depths
-1..max_layers (training with random k; only the sampled depth executes) —
-both jit-clean with static shapes.
+inference) or a traced scalar (training with random k) handled by
+cfg.traced_k_impl: a masked lax.scan (default — 1/4 the reverse-mode graph;
+the platform XLA TPU compiler SIGSEGVs on the switch variant's grad) or a
+lax.switch over unrolled depths (only the sampled depth executes) — all
+jit-clean with static shapes.
 """
 
 from __future__ import annotations
