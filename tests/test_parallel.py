@@ -90,3 +90,15 @@ def test_lambda_sweep_matches_individual_runs():
         ref = master_apply(params, c, s, cfg, k=1)
         np.testing.assert_allclose(sweep[lam], np.asarray(ref),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_stylize_bucketed_extreme_aspect_ratio():
+    """Aspect ratio > 2:1 forces more reflect padding than the dimension
+    allows in one step (ADVICE r1: jnp.pad reflect requires pad <= dim-1);
+    the staged pad must handle it."""
+    cfg, params, _, _ = _setup()
+    c = jax.random.uniform(jax.random.PRNGKey(1), (1, 40, 250, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(2), (1, 40, 250, 3))
+    out = stylize(params, c, s, cfg, k=1, buckets=(256,))
+    assert out.shape == (1, 40, 250, 3)
+    assert bool(jnp.isfinite(out).all())
