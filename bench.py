@@ -156,7 +156,7 @@ def bench_train(args):
     style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
     rng = jax.random.PRNGKey(3)
 
-    for _ in range(args.warmup):
+    for _ in range(max(args.warmup, 1)):   # >=1: compile before timing
         state, metrics = step(state, content, style, rng)
     _sync(metrics["total"])
 

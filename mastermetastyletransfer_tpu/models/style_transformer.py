@@ -564,8 +564,15 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
         q = zp(_in_masked(Query_IN, "in_q"))
         if cfg.decoder_use_Key_instance_norm_after_linear_transformation:
             kk = linear(d_dual["wk"], zp(Key_IN))
-            # post-linear IN over the FULL padded grid (pad tokens = wk bias)
-            kk = instance_norm(kk.reshape(b, -1, kk.shape[-1])).reshape(kk.shape)
+            # post-linear IN over the FULL padded grid (pad tokens = wk
+            # bias), WITH the in_k affine when enabled — matches the generic
+            # path's _in(k, "k") (ops/attention.py:348-353)
+            aff_k = dec.get("in_k") if affine else None
+            kk = instance_norm(
+                kk.reshape(b, -1, kk.shape[-1]),
+                scale=None if aff_k is None else aff_k["scale"],
+                bias=None if aff_k is None else aff_k["bias"],
+            ).reshape(kk.shape)
         else:
             kk = zp(_in_masked(Key_IN, "in_k"))
             kk = linear(d_dual["wk"], kk)

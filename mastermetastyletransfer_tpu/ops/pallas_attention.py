@@ -250,7 +250,7 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
     _unflat(acc_h + bp, mu_ref)
 
 
-def _pick_bsub(b: int, c: int, twn: int) -> int:
+def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072) -> int:
     """Images per grid step: stack BSUB images' same-tile rows along
     sublanes so the in-kernel projections/MLP run as (BSUB*TWN, C) matmuls
     (up to 8x wider M than per-image tiles — the MXU is row-starved at
@@ -258,7 +258,7 @@ def _pick_bsub(b: int, c: int, twn: int) -> int:
     row-buffers (qkv 3C + MLP hidden 4C + residual) OOM just past
     BSUB*TWN*C ~ 128k elements (measured: 16.74M/16M at 8*245*128). Must
     divide B so no image padding is needed."""
-    cap = min(8, max(1, 131072 // (c * twn)))
+    cap = min(8, max(1, budget // (c * twn)))
     for d in range(min(cap, b), 0, -1):
         if b % d == 0:
             return d
@@ -506,12 +506,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
                             _linb(params, "wv", c, x.dtype)], axis=1)
 
     # per-window core frees the TWN^2 buffers -> roomier image batching
-    cap = min(8, max(1, 262144 // (c * twn)))
-    bsub = 1
-    for d in range(min(cap, b), 0, -1):
-        if b % d == 0:
-            bsub = d
-            break
+    bsub = _pick_bsub(b, c, twn, budget=262144)
 
     win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
                         memory_space=pltpu.VMEM)

@@ -40,12 +40,13 @@ def _kernel(x0_ref, x1_ref, out_ref, *, c_out: int):
             out_ref[0, :, :, sl] = xa[:, b:b + w, sl]
 
 
-def _pick_ht(h: int, wp: int, c4: int) -> int:
+def _pick_ht(h: int, wp: int, c4: int, itemsize: int) -> int:
     """Row-tile height budgeted against the 16MB scoped VMEM: Mosaic
     double-buffers the two input views and the output, so the block byte
-    size (ht*wp*c4*2B) must stay ~<=1.2MB (cap 32 OOM'd at 256^2x128 lanes,
-    17.86M/16M; cap 16 OOM'd again at 512-wide rows, 17.73M/16M)."""
-    cap = max(1, (1 << 20) // (wp * c4 * 2))
+    size (ht*wp*c4*itemsize) must stay ~<=1.2MB (cap 32 OOM'd at
+    256^2x128 lanes bf16, 17.86M/16M; cap 16 OOM'd again at 512-wide rows,
+    17.73M/16M). dtype-aware: f32 halves the row budget vs bf16."""
+    cap = max(1, (1 << 20) // (wp * c4 * itemsize))
     for t in range(min(cap, h), 0, -1):
         if h % t == 0:
             return t
@@ -65,7 +66,7 @@ def phase_align(big: jnp.ndarray, c_out: int,
     b, hp, wp, c4 = big.shape
     h, w = hp - 1, wp - 1
     assert c4 == 4 * c_out and c_out % 32 == 0
-    ht = _pick_ht(h, wp, c4)
+    ht = _pick_ht(h, wp, c4, jnp.dtype(big.dtype).itemsize)
     n_h = h // ht
 
     x0 = big[:, :h]

@@ -3,8 +3,10 @@ step, both as pure functions over (state, batch, rng).
 
 Reference semantics covered:
 - random layer count k in [1, max_layers] per step (train.py:448,
-  train_only_inner_loop.py:519) via a traced k dispatched through a
-  lax.switch over unrolled depths (only the sampled depth executes).
+  train_only_inner_loop.py:519) via a traced k; the dispatch is
+  StyleTransformerConfig.traced_k_impl — a masked lax.scan by default (the
+  lax.switch variant runs only the sampled depth but its reverse-mode graph
+  crashes this platform's XLA TPU compiler; see models/style_transformer.py).
 - the 4 ImageNet-normalization flag combinations
   (train_only_inner_loop.py:494-575).
 - Reptile meta loop (train.py:316-563): clone theta->omega, inner Adam steps

@@ -143,6 +143,15 @@ def test_style_transformer_windowed_config_branches():
         cfg = StyleTransformerConfig(use_pallas=True, **kw)
         assert _st_windowed_ok(cfg, True), kw
         params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+        if kw.get("decoder_use_instance_norm_with_affine"):
+            # NON-identity affine: freshly-initialized scale=1/bias=0 would
+            # mask a dropped-affine bug (found in review round 2)
+            for which in ("in_q", "in_k"):
+                aff = params["decoder"][which]
+                params["decoder"][which] = {
+                    "scale": aff["scale"] * 1.3 + 0.1,
+                    "bias": aff["bias"] + 0.2,
+                }
         want = style_transformer_apply(
             params, fc, fs, cfg.replace(use_pallas=False), k=1)
         got = style_transformer_apply_windowed(params, fc, fs, cfg, k=1)

@@ -44,7 +44,8 @@ def test_spatial_sharding_with_pallas_matches_xla():
     ref = master_apply(params, c, s, cfg, k=1)
 
     cfg_p = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
-                        transformer=cfg.transformer.replace(use_pallas=True))
+                        transformer=cfg.transformer.replace(use_pallas=True),
+                        decoder=cfg.decoder.replace(use_pallas=True))
     mesh = make_hybrid_mesh(2, 4)
     fn = make_spatial_stylize(cfg_p, mesh, k=1, data_axis="data")
     c_sh, s_sh = shard_images_spatial((c, s), mesh, data_axis="data")
