@@ -156,9 +156,13 @@ def bench_train(args):
     style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
     rng = jax.random.PRNGKey(3)
 
-    for _ in range(max(args.warmup, 1)):   # >=1: compile before timing
+    # warmup is honest: --warmup 0 really skips compile-before-timing, so the
+    # first timed round measures cold-start (compile included).
+    metrics = None
+    for _ in range(args.warmup):
         state, metrics = step(state, content, style, rng)
-    _sync(metrics["total"])
+    if metrics is not None:
+        _sync(metrics["total"])
 
     best_dt = float("inf")
     for _ in range(3):
@@ -186,7 +190,9 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=3,
+                    help="untimed warmup iterations; 0 = measure cold start "
+                         "(first timed round includes compilation)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--pallas", dest="pallas", action="store_true", default=True,
                     help="use the fused Pallas kernels (default)")

@@ -521,7 +521,6 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
             Key = mlp_res(enc_key_block(Key), enc["mlp_key"])
         return Key, Scale, Shift
 
-    dcfg = cfg.decoder_attn()
     d_self = dec["self_mha"]
     bias_self = relative_position_bias(d_self["attn"]["rel_bias_table"],
                                        wh, ww)

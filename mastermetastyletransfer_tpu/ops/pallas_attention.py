@@ -100,8 +100,16 @@ def _expand_mask(mask: Optional[jnp.ndarray], nt: int, tw: int, n: int,
     key = None
     if mask is not None:
         key = tuple(np.asarray(mask, np.float32).ravel().tolist())
-    return jnp.asarray(_static_mask_big(key, nt, tw, n, nw),
-                       dtype=jnp.bfloat16)
+    big = _static_mask_big(key, nt, tw, n, nw)
+    # The downcast is only safe while distinct mask values stay distinct and
+    # ordered in bf16 (today's {0, -100, -1e9} do; the additive levels only
+    # gate softmax). A future finer-grained mask that collides under bf16
+    # rounding fails here loudly instead of silently losing precision.
+    uniq = np.unique(np.asarray(big, np.float32))
+    as_bf16 = np.asarray(uniq, dtype=jnp.bfloat16).astype(np.float32)
+    assert np.all(np.diff(as_bf16) > 0), (
+        "shift-mask values collide under bfloat16 rounding")
+    return jnp.asarray(big, dtype=jnp.bfloat16)
 
 
 def _pad_windows(x: jnp.ndarray, nw_pad: int) -> jnp.ndarray:
@@ -342,7 +350,10 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    bsub = _pick_bsub(b, c, twn)
+    # The dual kernel holds two value streams and two output accumulators
+    # (6 row-streams vs the single kernel's 4), so its VMEM headroom is
+    # ~2/3 of the single kernel's — scale the row budget accordingly.
+    bsub = _pick_bsub(b, c, twn, budget=(131072 * 2) // 3)
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     kern = functools.partial(_kernel_dual, heads=heads,
                              scale=(c // heads) ** -0.5, bsub=bsub)

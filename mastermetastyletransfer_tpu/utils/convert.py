@@ -298,6 +298,47 @@ def seed_style_transformer_from_swin_block(
     return p
 
 
+def split_whole_model_state_dict(sd: Dict[str, np.ndarray]):
+    """Split a whole-model state_dict — the layout `save_whole_model` writes
+    (reference train_only_inner_loop.py:382-385:
+    `torch.save(self.master_style_transformer.state_dict(), ...)`), which is
+    the layout the missing `pretrained_model_lambda_is_{2,4}.pt` checkpoints
+    use — into the three component dicts the per-component converters
+    consume. Prefixes follow codes/full_model.py attribute names:
+    `swin_encoder.*` (torchvision cut-Sequential keys), `style_transformer.*`
+    (codes/style_transformer.py key scheme), `decoder.*` (the CNN decoder,
+    whose own Sequential attr is also named `decoder`, codes/decoder.py:23).
+
+    Returns (swin_sd, style_transformer_sd, decoder_sd); any group absent
+    from the input maps to None."""
+    groups: Dict[str, Dict[str, np.ndarray]] = {
+        "swin_encoder": {}, "style_transformer": {}, "decoder": {}}
+    unknown = []
+    for k, v in sd.items():
+        for prefix, g in groups.items():
+            if k.startswith(prefix + "."):
+                g[k[len(prefix) + 1:]] = v
+                break
+        else:
+            unknown.append(k)
+    if unknown:
+        raise ValueError(
+            "not a whole-model state dict; unrecognized keys (expected "
+            f"swin_encoder./style_transformer./decoder. prefixes): "
+            f"{unknown[:5]}")
+    return tuple(g or None for g in
+                 (groups["swin_encoder"], groups["style_transformer"],
+                  groups["decoder"]))
+
+
+def convert_whole_model(sd: Dict[str, np.ndarray], params: dict,
+                        cfg: ModelConfig) -> dict:
+    """Whole-model state_dict (save_whole_model layout) -> full params
+    pytree, falling back to `params` for any absent component."""
+    swin_sd, st_sd, dec_sd = split_whole_model_state_dict(sd)
+    return convert_master_model(st_sd, dec_sd, swin_sd, params, cfg)
+
+
 def convert_master_model(style_transformer_sd: Optional[Dict[str, np.ndarray]],
                          decoder_sd: Optional[Dict[str, np.ndarray]],
                          swin_sd: Optional[Dict[str, np.ndarray]],

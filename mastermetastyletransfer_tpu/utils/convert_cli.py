@@ -21,6 +21,12 @@ Covers the reference's whole weight-acquisition surface
     # an original Swin block (fused qkv split into thirds)
     python -m mastermetastyletransfer_tpu.utils.convert_cli seed_from_swin \
         --input swin_b.pth --output st_seeded.npz
+
+    # a whole-model checkpoint (save_whole_model layout — the
+    # pretrained_model_lambda_is_{2,4}.pt format,
+    # reference train_only_inner_loop.py:382-385) -> full params
+    python -m mastermetastyletransfer_tpu.utils.convert_cli whole_model \
+        --input pretrained_model_lambda_is_2.pt --output master_lambda2.npz
 """
 
 from __future__ import annotations
@@ -63,7 +69,8 @@ def _extract_swin_block(sd: dict) -> dict:
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("kind", choices=["swin", "vgg19", "style_transformer",
-                                     "decoder", "seed_from_swin"])
+                                     "decoder", "seed_from_swin",
+                                     "whole_model"])
     ap.add_argument("--input", required=True, help="torch .pt/.pth state dict")
     ap.add_argument("--output", required=True, help=".npz output path")
     ap.add_argument("--variant", default="swin_B")
@@ -76,13 +83,18 @@ def main(argv=None):
     from mastermetastyletransfer_tpu.utils import checkpoint as ckpt_lib
     from mastermetastyletransfer_tpu.utils.convert import (
         convert_cnn_decoder, convert_style_transformer, convert_swin_backbone,
-        convert_vgg19, load_torch_state_dict,
+        convert_vgg19, convert_whole_model, load_torch_state_dict,
         seed_style_transformer_from_swin_block,
     )
 
     sd = load_torch_state_dict(args.input)
 
-    if args.kind == "swin":
+    if args.kind == "whole_model":
+        from mastermetastyletransfer_tpu.models import init_master_model
+        cfg = ModelConfig()
+        template = init_master_model(jax.random.PRNGKey(0), cfg)
+        params = convert_whole_model(sd, template, cfg)
+    elif args.kind == "swin":
         params = convert_swin_backbone(sd, SwinConfig.for_variant(args.variant))
     elif args.kind == "vgg19":
         params = convert_vgg19(sd, use_batchnorm=args.batchnorm)

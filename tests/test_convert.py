@@ -203,3 +203,34 @@ def test_convert_master_model_assembly(rng):
     new = convert.convert_master_model(st_sd, None, swin_sd, params, cfg)
     out = master_apply(new, jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3)), cfg)
     assert out.shape == (1, 64, 64, 3) and bool(jnp.isfinite(out).all())
+
+
+def test_split_whole_model_state_dict(rng):
+    """save_whole_model layout (reference train_only_inner_loop.py:382-385):
+    prefix routing, decoder double-prefix handling, unknown-key rejection."""
+    cfg = ModelConfig()
+    st_sd = make_style_transformer_sd(rng)
+    swin_sd = make_swin_backbone_sd(rng, cfg.swin)
+    dec_sd = {f"decoder.{i}.weight": _r(rng, 8, 8, 3, 3)
+              for i in (0, 3, 5, 7, 9, 12, 14, 17, 19)}
+    dec_sd.update({f"decoder.{i}.bias": _r(rng, 8)
+                   for i in (0, 3, 5, 7, 9, 12, 14, 17, 19)})
+    whole = {}
+    whole.update({f"swin_encoder.{k}": v for k, v in swin_sd.items()})
+    whole.update({f"style_transformer.{k}": v for k, v in st_sd.items()})
+    whole.update({f"decoder.{k}": v for k, v in dec_sd.items()})
+
+    s, t, d = convert.split_whole_model_state_dict(whole)
+    assert set(s) == set(swin_sd) and set(t) == set(st_sd)
+    assert set(d) == set(dec_sd)  # CNN decoder keeps its own "decoder." level
+    np.testing.assert_array_equal(d["decoder.0.weight"],
+                                  dec_sd["decoder.0.weight"])
+
+    # absent component -> None
+    s2, t2, d2 = convert.split_whole_model_state_dict(
+        {f"style_transformer.{k}": v for k, v in st_sd.items()})
+    assert s2 is None and d2 is None and set(t2) == set(st_sd)
+
+    import pytest
+    with pytest.raises(ValueError, match="unrecognized"):
+        convert.split_whole_model_state_dict({"bogus.key": st_sd[next(iter(st_sd))]})

@@ -50,7 +50,7 @@ from mastermetastyletransfer_tpu.ops.attention import (  # noqa: E402
 )
 from mastermetastyletransfer_tpu.utils.convert import (  # noqa: E402
     convert_cnn_decoder, convert_style_transformer, convert_swin_backbone,
-    convert_vgg19,
+    convert_vgg19, convert_whole_model,
 )
 
 MAE_TOL = 1e-3  # the north-star bound; observed values are ~1e-6 (fp32)
@@ -265,6 +265,51 @@ def test_swin_backbone_converter_parity_torchvision_layout():
     assert _mae(out, out_ref) <= MAE_TOL
 
 
+def test_swin_b_block_pair_parity_exact_geometry():
+    """Unshifted + shifted torchvision SwinTransformerBlock pair at swin_b's
+    exact stage-1 geometry — dim 128, 4 heads, window 7, shift 3 (torchvision
+    swin_b: embed_dim=128, num_heads=[4,...], window [7,7], odd-block shift
+    [7//2, 7//2]) — vs our style_swin_block_apply through the converter's
+    fused-qkv split. Focused de-circularization check: the oracle block is
+    audited line-by-line against torchvision v0.15.2 (tests/torch_swin_ref.py
+    docstrings); this pins the converter+kernel at the real swin_b shape."""
+    from tests.torch_swin_ref import TVSwinBlock
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_swin_block_apply,
+    )
+    from mastermetastyletransfer_tpu.utils.convert import _lin, _norm, _split_qkv
+
+    torch.manual_seed(21)
+    blocks = torch.nn.Sequential(
+        TVSwinBlock(128, 4, [7, 7], [0, 0]),
+        TVSwinBlock(128, 4, [7, 7], [3, 3]),
+    ).eval()
+    # swin_b stage-1 runs on a 128x128 token grid at 512^2 input; use a
+    # non-multiple-of-7 grid (the real case) so the pad path is exercised
+    x = _rand((2, 18, 20, 128), 22, 0.5)
+    with torch.no_grad():
+        out_ref = blocks(torch.from_numpy(x)).numpy()
+
+    sd = _sd_numpy(blocks)
+    y = jnp.asarray(x)
+    for i, shift in enumerate(((0, 0), (3, 3))):
+        bsd = {k[len(f"{i}."):]: v for k, v in sd.items()
+               if k.startswith(f"{i}.")}
+        attn = _split_qkv(bsd, "attn.qkv")
+        attn["proj"] = _lin(bsd, "attn.proj")
+        attn["rel_bias_table"] = jnp.asarray(
+            bsd["attn.relative_position_bias_table"])
+        p = {"attn": attn, "norm1": _norm(bsd, "norm1"),
+             "norm2": _norm(bsd, "norm2"),
+             "mlp": {"fc1": _lin(bsd, "mlp.0"), "fc2": _lin(bsd, "mlp.3")}}
+        acfg = AttentionConfig(dim=128, num_heads=4, window_size=(7, 7),
+                               shift_size=shift)
+        y = style_swin_block_apply(p, y, y, y, acfg, use_norm=True,
+                                   exclude_mlp=False, sd_prob=0.0,
+                                   calculating_key=True, deterministic=True)
+    assert _mae(y, out_ref) <= MAE_TOL
+
+
 # ---------------------------------------------------------------------------
 # Loss
 # ---------------------------------------------------------------------------
@@ -369,3 +414,19 @@ def test_reference_full_model_parity(tmp_path):
     mae = _mae(out, out_ref.transpose(0, 2, 3, 1))
     print(f"full-model MAE vs reference: {mae:.2e}")
     assert mae <= MAE_TOL
+
+    # Whole-model checkpoint ingestion (reference
+    # train_only_inner_loop.py:382-385 save_whole_model — the layout the
+    # missing pretrained_model_lambda_is_{2,4}.pt uses): the live reference
+    # model's full state_dict, split + converted, must produce the same
+    # output as the per-component path above.
+    whole_sd = _sd_numpy(ref)
+    from mastermetastyletransfer_tpu.models import init_master_model
+    template = init_master_model(jax.random.PRNGKey(0), cfg)
+    params_w = convert_whole_model(whole_sd, template, cfg)
+    out_w = master_apply(params_w,
+                         jnp.asarray(content.transpose(0, 2, 3, 1)),
+                         jnp.asarray(style.transpose(0, 2, 3, 1)), cfg, k=1)
+    mae_w = _mae(out_w, out_ref.transpose(0, 2, 3, 1))
+    print(f"whole-model-checkpoint MAE vs reference: {mae_w:.2e}")
+    assert mae_w <= MAE_TOL
