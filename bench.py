@@ -45,6 +45,12 @@ def _build_cfg(args):
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
                           transformer=cfg.transformer.replace(use_pallas=True),
                           decoder=cfg.decoder.replace(use_pallas=True))
+    if args.phase_exit is not None:
+        cfg = cfg.replace(decoder=cfg.decoder.replace(
+            phase_exit=args.phase_exit))
+    if args.patch_embed:
+        cfg = cfg.replace(swin=cfg.swin.replace(
+            patch_embed_impl=args.patch_embed))
     return cfg
 
 
@@ -54,6 +60,9 @@ def bench_infer(args):
 
     cfg = _build_cfg(args)
     params = init_master_model(jax.random.PRNGKey(0), cfg)
+    if args.params_dtype:
+        from mastermetastyletransfer_tpu.models import cast_params
+        params = cast_params(params, args.params_dtype)
 
     @jax.jit
     def stylize(params, content, style):
@@ -194,6 +203,14 @@ def main():
                     help="untimed warmup iterations; 0 = measure cold start "
                          "(first timed round includes compilation)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--patch_embed", choices=["s2d", "conv"], default=None,
+                    help="patch-embed implementation (A/B knob)")
+    ap.add_argument("--phase_exit", type=int, default=None,
+                    help="decoder conv index that leaves phase space "
+                         "(A/B knob; default = config)")
+    ap.add_argument("--params_dtype", type=str, default=None,
+                    help="cast the param store once at load (e.g. bfloat16 "
+                         "to halve weight HBM traffic on the serving path)")
     ap.add_argument("--pallas", dest="pallas", action="store_true", default=True,
                     help="use the fused Pallas kernels (default)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")

@@ -146,6 +146,9 @@ class SwinConfig(_ConfigBase):
     # p_i = p_max * i / (24 - 1).
     stochastic_depth_probs: Tuple[float, ...] = (0.0, 0.5 / 23, 1.0 / 23, 1.5 / 23)
     use_pallas: bool = False
+    # "s2d": space-to-depth reshape + GEMM (exact; pays a relayout);
+    # "conv": direct stride-4 conv_general_dilated. A/B knob — same math.
+    patch_embed_impl: str = "s2d"
 
     @staticmethod
     def for_variant(variant: str) -> "SwinConfig":
@@ -177,6 +180,11 @@ class DecoderConfig(_ConfigBase):
     # 4-slice+concat XLA chain costs ~3ms at 256^2; the kernel is one
     # bandwidth-bound op). Exact — same values, different schedule.
     use_pallas: bool = False
+    # First conv index that runs on the plain fine grid instead of phase
+    # space (exact either way). The phase path wins while channel counts are
+    # narrow, but its align+interleave tail can lose to a plain XLA conv at
+    # the last layers — A/B'd on the full bench (PERF.md round 3).
+    phase_exit: int = 99
 
 
 @dataclass(frozen=True)

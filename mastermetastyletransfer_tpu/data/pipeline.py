@@ -98,9 +98,17 @@ class ImageFolderDataset:
 
 
 class PrefetchLoader:
-    """Thread-pool batch loader with a bounded prefetch queue.
+    """Thread-pool batch loader with a bounded prefetch window and
+    DETERMINISTIC batch order.
 
-    Yields uint8 (B, resize_to, resize_to, 3) batches forever.
+    Yields uint8 (B, resize_to, resize_to, 3) batches forever. A single
+    index producer assigns a sequence number to every batch's index group
+    (so batch k always holds the same images for a given seed), workers
+    decode concurrently, and delivery reorders by sequence number — a
+    fixed-seed run sees the identical batch stream regardless of worker
+    count or thread scheduling, matching the exact-resume rng design of the
+    trainer (derived per-step keys). Outstanding work is bounded by
+    prefetch + num_workers batches.
     """
 
     def __init__(self, dataset, batch_size: int, *, num_workers: int = 4,
@@ -108,42 +116,64 @@ class PrefetchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self._sampler = iter(InfiniteIndexSampler(len(dataset), seed))
-        self._q: "queue.Queue[np.ndarray]" = queue.Queue(maxsize=prefetch)
-        self._lock = threading.Lock()
+        self._tasks: "queue.Queue[Tuple[int, List[int]]]" = queue.Queue(
+            maxsize=prefetch)
+        self._results = {}
+        self._cond = threading.Condition()
+        self._next_seq = 0
         self._stop = threading.Event()
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(max(1, num_workers))
         ]
+        self._threads.append(
+            threading.Thread(target=self._produce, daemon=True))
         for t in self._threads:
             t.start()
 
-    def _next_indices(self) -> List[int]:
-        with self._lock:
-            return [next(self._sampler) for _ in range(self.batch_size)]
+    def _produce(self):
+        seq = 0
+        while not self._stop.is_set():
+            idx = [next(self._sampler) for _ in range(self.batch_size)]
+            while not self._stop.is_set():
+                try:
+                    self._tasks.put((seq, idx), timeout=0.5)
+                    seq += 1
+                    break
+                except queue.Full:
+                    continue
 
     def _worker(self):
         while not self._stop.is_set():
-            idx = self._next_indices()
+            try:
+                seq, idx = self._tasks.get(timeout=0.5)
+            except queue.Empty:
+                continue
             if hasattr(self.dataset, "get_batch"):
                 batch = self.dataset.get_batch(idx)
             else:
                 batch = np.stack([self.dataset[i] for i in idx])
-            while not self._stop.is_set():
-                try:
-                    self._q.put(batch, timeout=0.5)
-                    break
-                except queue.Full:
-                    continue
+            with self._cond:
+                self._results[seq] = batch
+                self._cond.notify_all()
 
     def __iter__(self):
         return self
 
     def __next__(self) -> np.ndarray:
-        return self._q.get()
+        with self._cond:
+            while self._next_seq not in self._results:
+                if self._stop.is_set():
+                    raise StopIteration
+                self._cond.wait(0.5)
+            batch = self._results.pop(self._next_seq)
+            self._next_seq += 1
+            return batch
 
     def close(self):
         self._stop.set()
+        with self._cond:
+            self._cond.notify_all()
 
 
 def device_preprocess_batch(batch_u8: jnp.ndarray, crop_to: int, *,

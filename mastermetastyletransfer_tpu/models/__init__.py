@@ -4,5 +4,5 @@ from mastermetastyletransfer_tpu.models.style_transformer import (
 from mastermetastyletransfer_tpu.models.decoder import init_cnn_decoder, cnn_decoder_apply
 from mastermetastyletransfer_tpu.models.swin import init_swin_backbone, swin_backbone_apply
 from mastermetastyletransfer_tpu.models.master import (
-    init_master_model, master_apply, make_stylize_fn,
+    cast_params, init_master_model, master_apply, make_stylize_fn,
 )

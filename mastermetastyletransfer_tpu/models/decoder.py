@@ -13,8 +13,8 @@ import jax.numpy as jnp
 
 from mastermetastyletransfer_tpu.config import DecoderConfig
 from mastermetastyletransfer_tpu.ops.conv import (
-    init_conv, phase_conv3x3, reflect_conv, upsample_conv_fused,
-    upsample_nearest,
+    init_conv, phase_conv3x3, phase_interleave, reflect_conv,
+    upsample_conv_fused, upsample_nearest,
 )
 
 
@@ -56,7 +56,13 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
     in_phase = False     # x is currently a phase tensor
     for i, (_, _, up) in enumerate(plan):
         relu = i < n - 1
-        if not cfg.fuse_upsample:
+        if not cfg.fuse_upsample or i >= cfg.phase_exit:
+            if in_phase:
+                x = phase_interleave(x)
+                in_phase = False
+            if pending_up:
+                x = upsample_nearest(x, 2)
+                pending_up = False
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)
             if up:
                 x = upsample_nearest(x, 2)

@@ -30,6 +30,19 @@ def init_master_model(key, cfg: ModelConfig) -> dict:
     }
 
 
+def cast_params(params: dict, dtype) -> dict:
+    """One-time inference-serving cast of float params to the compute dtype
+    (e.g. bfloat16): the kernels cast weights at load anyway (a mixed
+    bf16 x f32 dot silently promotes to an f32 matmul — see CLAUDE.md), so a
+    bf16 store is compute-identical on the fused path while halving weight
+    HBM/VMEM traffic. Keep the f32 store for training (optimizer state and
+    update accumulation stay f32)."""
+    dtype = jnp.dtype(dtype)
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
+
+
 def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
                  cfg: ModelConfig, *, k: int = 1, max_k: Optional[int] = None,
                  deterministic: bool = True,

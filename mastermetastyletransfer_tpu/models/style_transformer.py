@@ -435,10 +435,10 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
         _finalize, _prepare,
     )
     from mastermetastyletransfer_tpu.ops.pallas_attention import (
-        fused_window_block,
+        fused_decoder_tail, fused_encoder_scale_shift, fused_window_block,
     )
     from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
-        window_attention, window_attention_dual,
+        window_attention,
     )
     from mastermetastyletransfer_tpu.ops.windows import (
         relative_position_bias, shift_attention_mask, valid_token_mask,
@@ -482,43 +482,38 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
     e_attn = enc["shared_mha"]["attn"]
     bias_e = relative_position_bias(e_attn["rel_bias_table"], wh, ww)
 
-    if cfg.encoder_use_norm:
-        n1 = enc["shared_mha"]["norm1"]
-        ln_e = lambda t: layer_norm(t, n1["scale"], n1["bias"])
+    n1p = enc["shared_mha"].get("norm1") if cfg.encoder_use_norm else None
+    if n1p is not None:
+        ln_e = lambda t: layer_norm(t, n1p["scale"], n1p["bias"])
     else:
         ln_e = lambda t: t
 
-    def enc_key_block(Key):
-        x = zp(ln_e(Key))
-        a = window_attention(e_attn, x, x, x, bias_e, mask_key, heads_e)
-        return Key + a
+    def enc_key_block_fused(Key):
+        """Key self-attention block + MLP_Key residual in ONE kernel: the
+        whole-block kernel's [LN1->pad-zero->attn->+res->MLP->+res] chain is
+        exactly enc Key's zp(ln(Key)) -> attn -> Key+a -> mlp residual
+        (norm2=None: the encoder MLPs are norm-free,
+        reference codes/style_transformer.py:859-865)."""
+        return fused_window_block(
+            e_attn, Key, bias_e, mask_np, heads_e, enc["mlp_key"],
+            None, n1p, vmask, interpret=_pallas_interpret())
 
-    def enc_scale_shift(Key, Scale, Shift):
-        qk = zp(ln_e(Key))
-        v1 = zp(ln_e(Scale))
-        v2 = zp(ln_e(Shift))
-        q = linear(e_attn["wq"], qk)
-        kk = linear(e_attn["wk"], qk)
-        shared = {"wv_scale": e_attn["wv"], "wv_shift": e_attn["wv"],
-                  "proj": e_attn["proj"]}
-        a1, a2 = window_attention_dual(shared, q, kk, v1, v2, bias_e,
-                                       mask_key, heads_e)
-        return Scale + a1, Shift + a2
-
-    def mlp_res(x, mlp_params):
-        return ln_mlp_residual(x, mlp_params, None)
+    def enc_scale_shift_fused(Key, Scale, Shift):
+        """Scale & Shift update (2-V attention with shared softmax + both
+        norm-free MLP residuals) in ONE kernel
+        (reference codes/style_transformer.py:867-882)."""
+        return fused_encoder_scale_shift(
+            e_attn, Key, Scale, Shift, bias_e, mask_np, heads_e,
+            enc["mlp_scale"], enc["mlp_shift"], n1p, vmask,
+            interpret=_pallas_interpret())
 
     def encoder(Key, Scale, Shift):
         if cfg.encoder_if_use_processed_Key_in_Scale_and_Shift_calculation:
-            Key = mlp_res(enc_key_block(Key), enc["mlp_key"])
-            Scale, Shift = enc_scale_shift(Key, Scale, Shift)
-            Scale = mlp_res(Scale, enc["mlp_scale"])
-            Shift = mlp_res(Shift, enc["mlp_shift"])
+            Key = enc_key_block_fused(Key)
+            Scale, Shift = enc_scale_shift_fused(Key, Scale, Shift)
         else:
-            Scale, Shift = enc_scale_shift(Key, Scale, Shift)
-            Scale = mlp_res(Scale, enc["mlp_scale"])
-            Shift = mlp_res(Shift, enc["mlp_shift"])
-            Key = mlp_res(enc_key_block(Key), enc["mlp_key"])
+            Scale, Shift = enc_scale_shift_fused(Key, Scale, Shift)
+            Key = enc_key_block_fused(Key)
         return Key, Scale, Shift
 
     d_self = dec["self_mha"]
@@ -575,10 +570,12 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
         else:
             kk = zp(_in_masked(Key_IN, "in_k"))
             kk = linear(d_dual["wk"], kk)
-        sigma, mu = window_attention_dual(
-            d_dual, q, kk, zp(Scale), zp(Shift), bias_dual, mask_key, heads_d)
-        Query = Query * sigma + mu
-        return ln_mlp_residual(Query, dec["last_mlp"], None)
+        # dual attention + sigma/mu modulation + last-MLP residual fused
+        # (v streams zero-padded + projected in-kernel; q/k prepared above
+        # because their INs need image-global statistics)
+        return fused_decoder_tail(
+            d_dual, q, kk, Scale, Shift, Query, bias_dual, mask_np,
+            heads_d, dec["last_mlp"], vmask, interpret=_pallas_interpret())
 
     Scale, Shift, Key, Fcs = fs_w, fs_w, fs_w, fc_w
     for _ in range(int(k)):

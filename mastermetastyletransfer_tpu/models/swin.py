@@ -93,15 +93,23 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
                         rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """NHWC images (B, H, W, 3) -> NHWC features (B, H/8, W/8, 2*embed_dim)."""
     # patch embed: the 4x4 stride-4 conv IS a per-patch matmul — run it as
-    # space-to-depth + GEMM (exact; contraction 48, MXU-friendly lanes E)
+    # space-to-depth + GEMM (exact; contraction 48, MXU-friendly lanes E),
+    # or as a direct stride-4 conv (A/B knob: the s2d transpose is a
+    # relayout the conv path avoids)
     b, h, w, cin = images.shape
     pe = params["patch_embed"]["conv"]
     e = pe["kernel"].shape[-1]
-    patches = images.reshape(b, h // 4, 4, w // 4, 4, cin)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, h // 4, w // 4, 16 * cin)
-    wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
-    x = patches @ wk + pe["bias"].astype(patches.dtype)
+    if cfg.patch_embed_impl == "conv":
+        x = jax.lax.conv_general_dilated(
+            images, pe["kernel"].astype(images.dtype), (4, 4), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + pe["bias"].astype(x.dtype)
+    else:
+        patches = images.reshape(b, h // 4, 4, w // 4, 4, cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 4, w // 4, 16 * cin)
+        wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
+        x = patches @ wk + pe["bias"].astype(patches.dtype)
     x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
                    params["patch_embed"]["norm"]["bias"])
 

@@ -561,3 +561,330 @@ def fused_window_block(params: dict, x: jnp.ndarray,
       n1s, n1b, pm4,
       n2s, n2b, w1, b1, w2, b2)
     return out.reshape(b, nw_pad, n, c)[:, :nw]
+
+
+# ---------------------------------------------------------------------------
+# Iteration-fusion kernels (round 3): one program per style-transformer
+# encoder Scale/Shift step and one per decoder tail, eliminating the
+# per-op HBM round trips between the 2-V attention and its surrounding
+# LN / projection / modulation / MLP ops
+# (reference hot loops: codes/style_transformer.py:855-882, 1045-1125).
+# ---------------------------------------------------------------------------
+
+def _ln_rows(x, s_ref, b_ref, eps=1e-5):
+    f32 = jnp.float32
+    xf = x.astype(f32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * s_ref[0].astype(f32) + b_ref[0].astype(f32)).astype(x.dtype)
+
+
+def _mlp_rows(x, w1_ref, b1_ref, w2_ref, b2_ref):
+    """x + fc2(gelu(fc1(x))) on (rows, C); A-S erf (no Mosaic erf lowering)."""
+    from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
+    f32 = jnp.float32
+    dt = x.dtype
+    h = jnp.dot(x, w1_ref[:].astype(dt),
+                preferred_element_type=f32) + b1_ref[0].astype(f32)
+    h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
+    h = jnp.dot(h.astype(dt), w2_ref[:].astype(dt),
+                preferred_element_type=f32) + b2_ref[0].astype(f32)
+    return x.astype(f32) + h
+
+
+def _dual_core_pw(q3, k3, vs3, vh3, bias_ref, mask_ref, heads, bsub):
+    """Per-window batched dual-value attention core: ONE softmax(QK^T+bias+
+    mask), two value streams. q3 pre-scaled. Returns (rows, C) f32 pair."""
+    f32 = jnp.float32
+    dt = q3.dtype
+    nb, n, c = q3.shape
+    dh = c // heads
+    m = mask_ref[0].astype(f32)
+    mt = jnp.concatenate([m] * bsub, axis=0) if bsub > 1 else m
+    os_h, oh_h = [], []
+    for h in range(heads):
+        sl = slice(h * dh, (h + 1) * dh)
+        s = jax.lax.dot_general(q3[..., sl], k3[..., sl],
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=f32)
+        s = s + mt + bias_ref[h].astype(f32)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
+        ebf = e.astype(dt)
+        o1 = jax.lax.dot_general(ebf, vs3[..., sl],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        o2 = jax.lax.dot_general(ebf, vh3[..., sl],
+                                 (((2,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=f32)
+        os_h.append((o1 * recip).astype(dt))
+        oh_h.append((o2 * recip).astype(dt))
+    rows = nb * n
+    return (jnp.concatenate(os_h, axis=-1).reshape(rows, c),
+            jnp.concatenate(oh_h, axis=-1).reshape(rows, c))
+
+
+def _kernel_enc_ss(key_ref, scale_ref, shift_ref,
+                   wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+                   wp_ref, bp_ref, bias_ref, mask_ref,
+                   n1s_ref, n1b_ref, pm_ref,
+                   s1w_ref, s1b_ref, s2w_ref, s2b_ref,
+                   h1w_ref, h1b_ref, h2w_ref, h2b_ref,
+                   out_s_ref, out_h_ref, *, heads: int, scale: float,
+                   use_norm: bool, use_padmask: bool, bsub: int):
+    """Encoder Scale & Shift step in ONE program (reference
+    codes/style_transformer.py:867-882): qk = zp(ln(Key)); two-V attention
+    with SHARED softmax (v = zp(ln(Scale)), zp(ln(Shift)) through the shared
+    wv); residuals onto raw Scale/Shift; each result through its own
+    norm-free MLP residual."""
+    dt = key_ref.dtype
+    f32 = jnp.float32
+    _, _, tw, n, c = key_ref.shape
+    rows = bsub * tw * n
+    nb = bsub * tw
+
+    if use_padmask:
+        pm = pm_ref[0].reshape(tw * n, 1).astype(dt)
+        if bsub > 1:
+            pm = jnp.concatenate([pm] * bsub, axis=0)
+
+    def prep(ref):
+        raw = ref[:, 0].reshape(rows, c)
+        ln = _ln_rows(raw, n1s_ref, n1b_ref) if use_norm else raw
+        if use_padmask:
+            ln = ln * pm
+        return raw, ln
+
+    _, qk = prep(key_ref)
+    scale_raw, v1 = prep(scale_ref)
+    shift_raw, v2 = prep(shift_ref)
+
+    def proj(x, w_ref, b_ref):
+        y = jnp.dot(x, w_ref[:].astype(dt),
+                    preferred_element_type=f32) + b_ref[0].astype(f32)
+        return y.astype(dt).reshape(nb, n, c)
+
+    q3 = proj(qk, wq_ref, bq_ref) * scale
+    k3 = proj(qk, wk_ref, bk_ref)
+    vs3 = proj(v1, wv_ref, bv_ref)
+    vh3 = proj(v2, wv_ref, bv_ref)
+
+    a1, a2 = _dual_core_pw(q3, k3, vs3, vh3, bias_ref, mask_ref, heads, bsub)
+    bp = bp_ref[0].astype(f32)
+    wp = wp_ref[:].astype(dt)
+    s1 = (scale_raw.astype(f32)
+          + jnp.dot(a1.astype(dt), wp, preferred_element_type=f32) + bp)
+    h1 = (shift_raw.astype(f32)
+          + jnp.dot(a2.astype(dt), wp, preferred_element_type=f32) + bp)
+
+    out_s = _mlp_rows(s1.astype(dt), s1w_ref, s1b_ref, s2w_ref, s2b_ref)
+    out_h = _mlp_rows(h1.astype(dt), h1w_ref, h1b_ref, h2w_ref, h2b_ref)
+    out_s_ref[:, 0] = out_s.reshape(bsub, tw, n, c).astype(out_s_ref.dtype)
+    out_h_ref[:, 0] = out_h.reshape(bsub, tw, n, c).astype(out_h_ref.dtype)
+
+
+def _pw_wiring(b, nw, n, c, heads, x_list, mask, padmask, target_rows,
+               budget):
+    """Shared per-window-core wiring: pad + 5D-tile the inputs, build the
+    raw per-tile mask and padmask blocks, pick bsub, return specs."""
+    tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
+    x5 = [_pad_windows(x, nw_pad).reshape(b, nt, tw, n, c) for x in x_list]
+    mask_pw = np.zeros((nw_pad, n, n), np.float32)
+    if mask is not None:
+        mask_pw[:nw] = np.asarray(mask, np.float32)
+    mask_pw = jnp.asarray(mask_pw.reshape(nt, tw, n, n), jnp.bfloat16)
+    if padmask is not None and padmask.min() >= 1.0:
+        padmask = None
+    if padmask is not None:
+        pm = np.zeros((nw_pad, n), np.float32)
+        pm[:nw] = np.asarray(padmask, np.float32)
+        pm4 = jnp.asarray(pm.reshape(nt, twn, 1))
+    else:
+        pm4 = jnp.zeros((nt, twn, 1), jnp.float32)
+    bsub = _pick_bsub(b, c, twn, budget=budget)
+    win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    wmat = pl.BlockSpec((c, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    wvec = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
+    rbias = pl.BlockSpec((heads, n, n), lambda j, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, tw, n, n), lambda j, i: (j, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec((1, twn, 1), lambda j, i: (j, 0, 0),
+                          memory_space=pltpu.VMEM)
+    return (tw, nw_pad, nt, twn, x5, mask_pw, pm4, bsub,
+            win5, wmat, wvec, rbias, mspec, pmspec)
+
+
+def _mlp_weights(mlp_params, c, dtype):
+    w1 = mlp_params["fc1"]["kernel"]
+    hidden = w1.shape[1]
+    b1 = mlp_params["fc1"].get("bias")
+    w2 = mlp_params["fc2"]["kernel"]
+    b2 = mlp_params["fc2"].get("bias")
+    b1 = jnp.zeros((1, hidden), dtype) if b1 is None else b1.reshape(1, hidden)
+    b2 = jnp.zeros((1, c), dtype) if b2 is None else b2.reshape(1, c)
+    return w1, b1, w2, b2, hidden
+
+
+def fused_encoder_scale_shift(params: dict, Key: jnp.ndarray,
+                              Scale: jnp.ndarray, Shift: jnp.ndarray,
+                              bias: jnp.ndarray, mask: Optional[np.ndarray],
+                              heads: int, mlp_scale: dict, mlp_shift: dict,
+                              norm1: Optional[dict],
+                              padmask: Optional[np.ndarray] = None, *,
+                              target_rows: int = 256,
+                              interpret: bool = False):
+    """One kernel for the encoder's Scale+Shift update. Inputs (B, nW, N, C)
+    window tensors; returns (Scale', Shift') in the same layout."""
+    b, nw, n, c = Key.shape
+    (tw, nw_pad, nt, twn, (k5, s5, h5), mask_pw, pm4, bsub,
+     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+        b, nw, n, c, heads, [Key, Scale, Shift], mask, padmask,
+        target_rows, budget=131072)
+
+    if norm1 is not None:
+        n1s = norm1["scale"].reshape(1, c)
+        n1b = norm1["bias"].reshape(1, c)
+    else:
+        n1s = jnp.ones((1, c), Key.dtype)
+        n1b = jnp.zeros((1, c), Key.dtype)
+
+    s1w, s1b, s2w, s2b, hidden = _mlp_weights(mlp_scale, c, Key.dtype)
+    h1w, h1b, h2w, h2b, _ = _mlp_weights(mlp_shift, c, Key.dtype)
+    hmat = pl.BlockSpec((c, hidden), lambda j, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), lambda j, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), lambda j, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel_enc_ss, heads=heads,
+                             scale=(c // heads) ** -0.5,
+                             use_norm=norm1 is not None,
+                             use_padmask=padmask is not None
+                             and padmask.min() < 1.0,
+                             bsub=bsub)
+    out_shape = jax.ShapeDtypeStruct((b, nt, tw, n, c), Key.dtype)
+    out_s, out_h = pl.pallas_call(
+        kern,
+        grid=(nt, b // bsub),
+        in_specs=[win5, win5, win5,
+                  wmat, wvec, wmat, wvec, wmat, wvec, wmat, wvec,
+                  rbias, mspec,
+                  wvec, wvec, pmspec,
+                  hmat, hvec, hmat_t, wvec,
+                  hmat, hvec, hmat_t, wvec],
+        out_specs=(win5, win5),
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(k5, s5, h5,
+      _linw(params, "wq"), _linb(params, "wq", c, Key.dtype),
+      _linw(params, "wk"), _linb(params, "wk", c, Key.dtype),
+      _linw(params, "wv"), _linb(params, "wv", c, Key.dtype),
+      _linw(params, "proj"), _linb(params, "proj", c, Key.dtype),
+      bias, mask_pw,
+      n1s, n1b, pm4,
+      s1w, s1b, s2w, s2b,
+      h1w, h1b, h2w, h2b)
+    rs = out_s.reshape(b, nw_pad, n, c)[:, :nw]
+    rh = out_h.reshape(b, nw_pad, n, c)[:, :nw]
+    return rs, rh
+
+
+def _kernel_dec_tail(q_ref, k_ref, vs_ref, vh_ref, query_ref,
+                     wvs_ref, bvs_ref, wvh_ref, bvh_ref, wp_ref, bp_ref,
+                     bias_ref, mask_ref, pm_ref,
+                     m1w_ref, m1b_ref, m2w_ref, m2b_ref,
+                     out_ref, *, heads: int, scale: float,
+                     use_padmask: bool, bsub: int):
+    """Decoder tail in ONE program (reference codes/style_transformer.py:
+    1059-1125): dual-value attention (q/k arrive prepared — IN'd/projected
+    outside where global statistics are needed), sigma/mu modulation
+    Query*sigma + mu, then the norm-free last-MLP residual."""
+    dt = q_ref.dtype
+    f32 = jnp.float32
+    _, _, tw, n, c = q_ref.shape
+    rows = bsub * tw * n
+    nb = bsub * tw
+
+    if use_padmask:
+        pm = pm_ref[0].reshape(tw * n, 1).astype(dt)
+        if bsub > 1:
+            pm = jnp.concatenate([pm] * bsub, axis=0)
+
+    def rowsof(ref, zp):
+        x = ref[:, 0].reshape(rows, c)
+        return x * pm if (zp and use_padmask) else x
+
+    q3 = (rowsof(q_ref, False) * scale).reshape(nb, n, c)
+    k3 = rowsof(k_ref, False).reshape(nb, n, c)
+
+    def proj(x, w_ref, b_ref):
+        y = jnp.dot(x, w_ref[:].astype(dt),
+                    preferred_element_type=f32) + b_ref[0].astype(f32)
+        return y.astype(dt).reshape(nb, n, c)
+
+    vs3 = proj(rowsof(vs_ref, True), wvs_ref, bvs_ref)
+    vh3 = proj(rowsof(vh_ref, True), wvh_ref, bvh_ref)
+
+    a1, a2 = _dual_core_pw(q3, k3, vs3, vh3, bias_ref, mask_ref, heads, bsub)
+    bp = bp_ref[0].astype(f32)
+    wp = wp_ref[:].astype(dt)
+    sigma = jnp.dot(a1.astype(dt), wp, preferred_element_type=f32) + bp
+    mu = jnp.dot(a2.astype(dt), wp, preferred_element_type=f32) + bp
+    query = query_ref[:, 0].reshape(rows, c).astype(f32)
+    y = query * sigma + mu
+    out = _mlp_rows(y.astype(dt), m1w_ref, m1b_ref, m2w_ref, m2b_ref)
+    out_ref[:, 0] = out.reshape(bsub, tw, n, c).astype(out_ref.dtype)
+
+
+def fused_decoder_tail(params: dict, q: jnp.ndarray, k: jnp.ndarray,
+                       v_scale: jnp.ndarray, v_shift: jnp.ndarray,
+                       query: jnp.ndarray, bias: jnp.ndarray,
+                       mask: Optional[np.ndarray], heads: int,
+                       last_mlp: dict,
+                       padmask: Optional[np.ndarray] = None, *,
+                       target_rows: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Dual attention + sigma/mu modulation + last-MLP residual in one
+    kernel. q/k arrive prepared (IN'd / projected); v streams are raw
+    (zero-padded + projected in-kernel via wv_scale/wv_shift)."""
+    b, nw, n, c = q.shape
+    (tw, nw_pad, nt, twn, (q5, k5, vs5, vh5, qr5), mask_pw, pm4, bsub,
+     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+        b, nw, n, c, heads, [q, k, v_scale, v_shift, query], mask, padmask,
+        target_rows, budget=98304)
+
+    m1w, m1b, m2w, m2b, hidden = _mlp_weights(last_mlp, c, q.dtype)
+    hmat = pl.BlockSpec((c, hidden), lambda j, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), lambda j, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), lambda j, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel_dec_tail, heads=heads,
+                             scale=(c // heads) ** -0.5,
+                             use_padmask=padmask is not None
+                             and padmask.min() < 1.0,
+                             bsub=bsub)
+    out = pl.pallas_call(
+        kern,
+        grid=(nt, b // bsub),
+        in_specs=[win5, win5, win5, win5, win5,
+                  wmat, wvec, wmat, wvec, wmat, wvec,
+                  rbias, mspec, pmspec,
+                  hmat, hvec, hmat_t, wvec],
+        out_specs=win5,
+        out_shape=jax.ShapeDtypeStruct((b, nt, tw, n, c), q.dtype),
+        interpret=interpret,
+    )(q5, k5, vs5, vh5, qr5,
+      _linw(params, "wv_scale"), _linb(params, "wv_scale", c, q.dtype),
+      _linw(params, "wv_shift"), _linb(params, "wv_shift", c, q.dtype),
+      _linw(params, "proj"), _linb(params, "proj", c, q.dtype),
+      bias, mask_pw, pm4,
+      m1w, m1b, m2w, m2b)
+    return out.reshape(b, nw_pad, n, c)[:, :nw]

@@ -6,12 +6,21 @@ micro-batching — concurrent requests within a window are stacked into one
 device batch (per-image work is independent, so batching is free throughput).
 
     python -m mastermetastyletransfer_tpu.serve --checkpoint params.npz \
-        --port 8500 --size 512 --k 1
+        --port 8500 --size 512 --ks 1,3
 
     POST /stylize with multipart or two raw images:
       curl -X POST localhost:8500/stylize \
            -F content=@cat.jpg -F style=@mondrian.jpg -o out.jpg
+      # layer-count control (ZS-L1 vs ZS-L3, reference k):
+      curl -X POST "localhost:8500/stylize?k=3" -F ... -o out.jpg
     GET /healthz -> {"status": "ok", ...}
+
+    Style-lambda control sweep (BASELINE config #2; lambda selects a
+    parameter set, reference pretrained_model_lambda_is_{2,4}.pt):
+      --lambda_checkpoint lambda2=l2.npz --lambda_checkpoint lambda4=l4.npz
+      POST /sweep?k=1 -> JSON {"lambda2": <base64 jpeg>, "lambda4": ...};
+      one vmapped device call over the stacked parameter axis
+      (inference.make_lambda_sweep_fn), not N serial runs.
 
 Stdlib-only HTTP (no external web framework in the image); JAX dispatch is
 single-threaded behind a lock with request coalescing.
@@ -109,6 +118,38 @@ class StylizeService:
         return payload
 
 
+class SweepService:
+    """Style-lambda sweep over stacked parameter sets, one vmap per call
+    (inference.py's lambda axis), with per-k jitted fns."""
+
+    def __init__(self, param_sets: dict, cfg, *, size: int, ks: List[int]):
+        import jax
+
+        from mastermetastyletransfer_tpu.inference import (
+            make_lambda_sweep_fn, stack_params,
+        )
+
+        self.names = list(param_sets.keys())
+        self.size = size
+        self._stacked = stack_params([param_sets[n] for n in self.names])
+        self._fns = {k: make_lambda_sweep_fn(cfg, k=k) for k in ks}
+        self._jax = jax
+        self._lock = threading.Lock()
+
+    def warmup(self):
+        z = np.zeros((1, self.size, self.size, 3), np.float32)
+        for k in self._fns:
+            self.sweep(z[0], z[0], k=k)
+
+    def sweep(self, content: np.ndarray, style: np.ndarray, *, k: int) -> dict:
+        if k not in self._fns:
+            raise KeyError(f"k={k} not served (available: {list(self._fns)})")
+        with self._lock:
+            outs = self._fns[k](self._stacked, content[None], style[None])
+        outs = np.asarray(self._jax.device_get(outs))  # (n_lambda, 1, H, W, 3)
+        return {name: outs[i, 0] for i, name in enumerate(self.names)}
+
+
 def _decode_to(size: int, data: bytes) -> np.ndarray:
     from PIL import Image
 
@@ -150,7 +191,13 @@ def _parse_multipart(body: bytes, boundary: bytes) -> dict:
     return parts
 
 
-def make_handler(service: StylizeService):
+def make_handler(services: dict, sweep_service: Optional["SweepService"],
+                 default_k: int):
+    """services: {k: StylizeService} — same-k requests micro-batch together."""
+    from urllib.parse import parse_qs, urlparse
+
+    any_service = services[default_k]
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -163,33 +210,60 @@ def make_handler(service: StylizeService):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
-                info = {"status": "ok", "size": service.size,
-                        "max_batch": service.max_batch}
+            if urlparse(self.path).path == "/healthz":
+                info = {"status": "ok", "size": any_service.size,
+                        "max_batch": any_service.max_batch,
+                        "ks": sorted(services),
+                        "lambdas": (sweep_service.names
+                                    if sweep_service else [])}
                 self._reply(200, json.dumps(info).encode(), "application/json")
             else:
                 self._reply(404, b"not found", "text/plain")
 
+        def _read_pair(self):
+            length = int(self.headers["Content-Length"])
+            body = self.rfile.read(length)
+            ctype = self.headers.get("Content-Type", "")
+            if "multipart/form-data" not in ctype:
+                return None
+            boundary = (ctype.split("boundary=")[1].split(";")[0]
+                        .strip().strip('"').encode())
+            parts = _parse_multipart(body, boundary)
+            return (_decode_to(any_service.size, parts["content"]),
+                    _decode_to(any_service.size, parts["style"]))
+
         def do_POST(self):
-            if self.path != "/stylize":
-                self._reply(404, b"not found", "text/plain")
-                return
+            url = urlparse(self.path)
+            q = parse_qs(url.query)
+            k = int(q.get("k", [default_k])[0])
             try:
-                length = int(self.headers["Content-Length"])
-                body = self.rfile.read(length)
-                ctype = self.headers.get("Content-Type", "")
-                if "multipart/form-data" in ctype:
-                    boundary = (ctype.split("boundary=")[1].split(";")[0]
-                                .strip().strip('"').encode())
-                    parts = _parse_multipart(body, boundary)
-                    content = _decode_to(service.size, parts["content"])
-                    style = _decode_to(service.size, parts["style"])
-                else:
+                pair = self._read_pair()
+                if pair is None:
                     self._reply(400, b"expected multipart/form-data",
                                 "text/plain")
                     return
-                out = service.stylize(content, style)
-                self._reply(200, _encode_jpeg(out), "image/jpeg")
+                content, style = pair
+                if url.path == "/stylize":
+                    if k not in services:
+                        self._reply(400, f"k={k} not served (ks="
+                                    f"{sorted(services)})".encode(),
+                                    "text/plain")
+                        return
+                    out = services[k].stylize(content, style)
+                    self._reply(200, _encode_jpeg(out), "image/jpeg")
+                elif url.path == "/sweep":
+                    if sweep_service is None:
+                        self._reply(400, b"no --lambda_checkpoint sets loaded",
+                                    "text/plain")
+                        return
+                    import base64
+                    outs = sweep_service.sweep(content, style, k=k)
+                    payload = {name: base64.b64encode(
+                        _encode_jpeg(img)).decode() for name, img in outs.items()}
+                    self._reply(200, json.dumps(payload).encode(),
+                                "application/json")
+                else:
+                    self._reply(404, b"not found", "text/plain")
             except Exception as e:
                 self._reply(500, str(e).encode(), "text/plain")
 
@@ -199,9 +273,15 @@ def make_handler(service: StylizeService):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--checkpoint", default=None, help=".npz params export")
+    ap.add_argument("--lambda_checkpoint", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="named lambda-tagged .npz param set for the /sweep "
+                         "endpoint; repeatable (e.g. lambda2=l2.npz)")
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--size", type=int, default=512)
-    ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--ks", default="1",
+                    help="comma list of served transformer layer counts "
+                         "(reference k; ZS-L1=1, ZS-L3=3)")
     ap.add_argument("--max_batch", type=int, default=8)
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
@@ -224,12 +304,30 @@ def main(argv=None):
     if args.checkpoint:
         params = ckpt_lib.load_params_npz(args.checkpoint, params)
 
-    service = StylizeService(params, cfg, size=args.size, k=args.k,
-                             max_batch=args.max_batch)
-    print(f"warming up ({args.size}x{args.size}, k={args.k})...")
-    service.warmup()
-    server = ThreadingHTTPServer(("0.0.0.0", args.port), make_handler(service))
-    print(f"serving on :{args.port}  (POST /stylize, GET /healthz)")
+    ks = sorted({int(k) for k in args.ks.split(",")})
+    services = {k: StylizeService(params, cfg, size=args.size, k=k,
+                                  max_batch=args.max_batch) for k in ks}
+    sweep_service = None
+    if args.lambda_checkpoint:
+        param_sets = {}
+        for spec in args.lambda_checkpoint:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--lambda_checkpoint wants NAME=PATH, got {spec!r}")
+            param_sets[name] = ckpt_lib.load_params_npz(path, params)
+        sweep_service = SweepService(param_sets, cfg, size=args.size, ks=ks)
+
+    print(f"warming up ({args.size}x{args.size}, ks={ks}"
+          f"{', sweep ' + str(sweep_service.names) if sweep_service else ''})...")
+    for s in services.values():
+        s.warmup()
+    if sweep_service:
+        sweep_service.warmup()
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.port),
+        make_handler(services, sweep_service, default_k=ks[0]))
+    print(f"serving on :{args.port}  (POST /stylize[?k=N], POST /sweep[?k=N], "
+          f"GET /healthz)")
     server.serve_forever()
 
 

