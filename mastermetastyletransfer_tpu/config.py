@@ -185,6 +185,11 @@ class DecoderConfig(_ConfigBase):
     # narrow, but its align+interleave tail can lose to a plain XLA conv at
     # the last layers — A/B'd on the full bench (PERF.md round 3).
     phase_exit: int = 99
+    # OPT-IN stencil-GEMM phase conv (ops/pallas_conv.stencil_phase_conv):
+    # conv+bias+ReLU+align in one kernel of MXU GEMMs. Measured 1-2% slower
+    # than the XLA conv+align on this chip (PERF.md round-3 A/B) — off by
+    # default, kept for future devices/shapes.
+    use_stencil_conv: bool = False
 
 
 @dataclass(frozen=True)

@@ -70,7 +70,8 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
         if pending_up:
             x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
                                     keep_phase=True,
-                                    use_pallas=cfg.use_pallas)
+                                    use_pallas=cfg.use_pallas,
+                                    stencil=cfg.use_stencil_conv)
             in_phase = True
         elif in_phase:
             # leave phase space at upsample boundaries (the next up-conv
@@ -78,7 +79,8 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
             leave = up or i == n - 1
             x = phase_conv3x3(params[f"conv{i}"], x, relu=relu,
                               interleave=leave,
-                              use_pallas=cfg.use_pallas)
+                              use_pallas=cfg.use_pallas,
+                              stencil=cfg.use_stencil_conv)
             in_phase = not leave
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

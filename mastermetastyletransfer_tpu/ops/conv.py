@@ -165,21 +165,45 @@ def _align(big: jnp.ndarray, h: int, w: int, c_out: int,
     return jnp.concatenate(subs, axis=-1)
 
 
+def _stencil_ok(cin: int, c_out: int, stencil: bool) -> bool:
+    """Mosaic gates for the stencil-GEMM conv: full-lane input tiles and
+    32-granular output lane slices. OPT-IN (DecoderConfig.use_stencil_conv):
+    measured 1-2% SLOWER than the XLA conv+align path on the full bench
+    (230.5/229.9 vs 233.0/233.5 imgs/s, PERF.md round-3 A/B table) — the
+    three halo input views triple input HBM reads and XLA's 2x2 conv is
+    already MXU-efficient at these shapes. Kept for future devices/shapes."""
+    return stencil and cin % 128 == 0 and c_out % 32 == 0
+
+
+def _stencil_call(pp, pk, bias, relu):
+    import jax as _jax
+    from mastermetastyletransfer_tpu.ops.pallas_conv import stencil_phase_conv
+    interpret = _jax.default_backend() != "tpu"
+    return stencil_phase_conv(pp, pk, jnp.tile(bias, 4), relu, interpret)
+
+
 def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
                   interleave: bool = False,
-                  use_pallas: bool = False) -> jnp.ndarray:
+                  use_pallas: bool = False,
+                  stencil: bool = False) -> jnp.ndarray:
     """Exact fine-grid reflect-pad 3x3 conv computed on a PHASE tensor
     (B, H, W, 4C) without materializing the (2H, 2W, C) fine grid.
 
     The input stays lane-packed (4C channels instead of C at 4x the spatial
     area), which matters for the decoder tail where C is 32 and the fine
     grid is 512^2. Returns a phase tensor (B, H, W, 4*C_out), or the fine
-    grid when `interleave`."""
+    grid when `interleave`.
+
+    With use_pallas (and Mosaic-compatible dims) the conv+bias+ReLU+align
+    chain runs as ONE stencil-GEMM kernel (ops/pallas_conv.py)."""
     b, h, w, c4 = p.shape
     wk = params["kernel"]
     c_out = wk.shape[-1]
     pk = _phase_space_kernel(wk.astype(jnp.float32)).astype(p.dtype)
     pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    if _stencil_ok(c4, c_out, stencil):
+        out = _stencil_call(pp, pk, params["bias"], relu)
+        return phase_interleave(out) if interleave else out
     big = lax.conv_general_dilated(
         pp, pk, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, H+1, W+1, 4*C_out)
@@ -193,7 +217,8 @@ def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
 def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
                         relu: bool = True,
                         keep_phase: bool = False,
-                        use_pallas: bool = False) -> jnp.ndarray:
+                        use_pallas: bool = False,
+                        stencil: bool = False) -> jnp.ndarray:
     """Exact fusion of upsample_nearest(2) -> 1px reflect pad -> 3x3 conv
     [-> ReLU] as ONE 2x2 conv on the coarse grid + phase interleave.
 
@@ -208,6 +233,9 @@ def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
     c_out = wk.shape[-1]
     pk = _phase_kernel(wk.astype(jnp.float32)).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    if _stencil_ok(c, c_out, stencil):
+        out = _stencil_call(xp, pk, params["bias"], relu)
+        return out if keep_phase else phase_interleave(out)
     big = lax.conv_general_dilated(
         xp, pk, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (B, H+1, W+1, 4*C')

@@ -102,3 +102,123 @@ def _phase_align_bwd(c_out, interpret, big_shape, g):
 
 
 phase_align.defvjp(_phase_align_fwd, _phase_align_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Stencil-GEMM phase conv (round 3): the whole phase-space conv — 2x2-tap
+# conv + bias + ReLU + phase ALIGN — as one kernel of plain MXU GEMMs.
+#
+# Math: the XLA path computes big = VALID-2x2-conv(edge-padded input) then
+# aligns out[i,j,(2a+b)C'] = big[i+a, j+b, (2a+b)C']. Substituting:
+#   out(i,j,phase(a,b)) = sum_{dy,dx in 2x2} pp(i+a+dy, j+b+dx) @ K[dy,dx,:,phase]
+# i.e. per output phase, 4 shifted-view GEMMs over the SAME padded input —
+# same FLOPs as the 2x2 conv, no big tensor, no align pass, and the matmuls
+# run at flat-GEMM rate instead of XLA-conv rate (~2-4x on this chip,
+# PERF.md device model). Row-shift views arrive as three XLA row slices
+# (overlapping blocks are inexpressible — same trick as phase_align);
+# column shifts are in-kernel sublane slices (register ops).
+# ---------------------------------------------------------------------------
+
+def _stencil_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
+                    c_out: int, relu: bool):
+    _, r, wp, cin = x0_ref.shape
+    w = wp - 2
+    rows = r * w
+    dt = x0_ref.dtype
+    f32 = jnp.float32
+    views = (x0_ref, x1_ref, x2_ref)
+    outs = []
+    for a in range(2):
+        for b in range(2):
+            sl = slice((2 * a + b) * c_out, (2 * a + b + 1) * c_out)
+            acc = None
+            for dy in range(2):
+                for dx in range(2):
+                    v = views[a + dy][0, :, b + dx:b + dx + w, :].reshape(
+                        rows, cin)
+                    t = jnp.dot(v, w_ref[dy, dx][:, sl].astype(dt),
+                                preferred_element_type=f32)
+                    acc = t if acc is None else acc + t
+            outs.append(acc)
+    y = jnp.concatenate(outs, axis=-1) + b_ref[0].astype(f32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.reshape(r, w, 4 * c_out).astype(out_ref.dtype)
+
+
+def _pick_r(h: int, wp: int, cin: int, itemsize: int) -> int:
+    """Row tile: 3 double-buffered input views + out must fit VMEM;
+    budget r*wp*cin*itemsize <= ~0.75MB per view."""
+    cap = max(1, (3 << 18) // (wp * cin * itemsize))
+    for t in range(min(cap, h), 0, -1):
+        if h % t == 0:
+            return t
+    return 1
+
+
+def _stencil_xla_equiv(pp, pk, bias4, relu: bool, c_out: int):
+    """XLA composition computing the same function (used for the backward)."""
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    big = jax.lax.conv_general_dilated(
+        pp, pk.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    big = big + bias4.astype(big.dtype)
+    if relu:
+        big = jnp.maximum(big, 0)
+    subs = [big[:, a:a + h, bb:bb + w,
+                (2 * a + bb) * c_out:(2 * a + bb + 1) * c_out]
+            for a in range(2) for bb in range(2)]
+    return jnp.concatenate(subs, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def stencil_phase_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias4: jnp.ndarray,
+                       relu: bool = True,
+                       interpret: bool = False) -> jnp.ndarray:
+    """pp: (B, H+2, W+2, Cin) edge-padded input (phase or coarse tensor).
+    pk: (2, 2, Cin, 4*C') phase-space / upsample-phase kernel.
+    bias4: (4*C',) phase-tiled bias. Returns the ALIGNED phase tensor
+    (B, H, W, 4*C'). Requires Cin % 128 == 0 and C' % 32 == 0.
+
+    Backward recomputes through the XLA-equivalent composition (exact same
+    function), so training pays XLA-conv rates only on the grad pass."""
+    b, hp, wp, cin = pp.shape
+    h, w = hp - 2, wp - 2
+    c4 = pk.shape[-1]
+    c_out = c4 // 4
+    assert cin % 128 == 0 and c_out % 32 == 0, (cin, c_out)
+    r = _pick_r(h, wp, cin, jnp.dtype(pp.dtype).itemsize)
+    views = [pp[:, s:s + h] for s in range(3)]
+    vspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(pk.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, c4), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, r, w, c4), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stencil_kernel, c_out=c_out, relu=relu),
+        grid=(b, h // r),
+        in_specs=[vspec, vspec, vspec, wspec, bspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c4), pp.dtype),
+        interpret=interpret,
+    )(views[0], views[1], views[2], pk, bias4.reshape(1, c4))
+
+
+def _stencil_fwd(pp, pk, bias4, relu, interpret):
+    return stencil_phase_conv(pp, pk, bias4, relu, interpret), (pp, pk, bias4)
+
+
+def _stencil_bwd(relu, interpret, res, g):
+    pp, pk, bias4 = res
+    c_out = pk.shape[-1] // 4
+    _, vjp = jax.vjp(
+        lambda a, b, c: _stencil_xla_equiv(a, b, c, relu, c_out),
+        pp, pk, bias4)
+    return vjp(g)
+
+
+stencil_phase_conv.defvjp(_stencil_fwd, _stencil_bwd)

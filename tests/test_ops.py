@@ -240,27 +240,46 @@ def test_cnn_decoder_fused_matches_unfused(rng):
 
 
 def test_cnn_decoder_pallas_phase_align_exact(rng):
-    """DecoderConfig.use_pallas (phase-align kernel, interpret mode on CPU)
-    must be bit-identical to the XLA slice+concat realignment."""
+    """The phase-ALIGN kernel alone is a pure permutation — bit-identical
+    to the XLA slice+concat chain. (Checked directly: the full decoder's
+    Pallas path now runs the stencil-GEMM conv whose f32 accumulation
+    order differs from XLA conv, so end-to-end is allclose, not
+    bit-equal — see test_stencil_phase_conv_exact_and_grad.)"""
     import jax
     import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.ops.pallas_conv import phase_align
+
+    big = jnp.asarray(rng.standard_normal((2, 9, 9, 128)).astype(np.float32))
+    got = phase_align(big, 32, True)
+    subs = [big[:, a:a + 8, b:b + 8, (2 * a + b) * 32:(2 * a + b + 1) * 32]
+            for a in range(2) for b in range(2)]
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(jnp.concatenate(subs, axis=-1)))
+
+    # full decoder: Pallas path (stencil conv + align fallbacks) vs XLA
     from mastermetastyletransfer_tpu.config import DecoderConfig
     from mastermetastyletransfer_tpu.models.decoder import (
         cnn_decoder_apply, init_cnn_decoder,
     )
-
     cfg_x = DecoderConfig(fuse_upsample=True, use_pallas=False)
     cfg_p = DecoderConfig(fuse_upsample=True, use_pallas=True)
     params = init_cnn_decoder(jax.random.PRNGKey(0), cfg_x)
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 256)).astype(np.float32)) * 0.1
     a = cnn_decoder_apply(params, x, cfg_x)
     b = cnn_decoder_apply(params, x, cfg_p)
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-4, atol=1e-5)
+    c = cnn_decoder_apply(params, x, cfg_p.replace(use_stencil_conv=True))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_cnn_decoder_pallas_phase_align_grads(rng):
-    """phase_align has a custom VJP (the align is a lane-disjoint
-    permutation): decoder gradients must match the XLA path exactly."""
+    """Decoder gradients through the Pallas path (stencil-GEMM custom VJP +
+    phase-align custom VJP) vs the XLA path. The stencil forward's f32
+    accumulation order differs from XLA conv, so downstream values (and
+    hence grads) agree to roundoff, not bit-exactly — compare per-leaf with
+    a magnitude-relative bound."""
     import jax
     import jax.numpy as jnp
     from mastermetastyletransfer_tpu.config import DecoderConfig
@@ -269,7 +288,7 @@ def test_cnn_decoder_pallas_phase_align_grads(rng):
     )
 
     cfg_x = DecoderConfig(use_pallas=False)
-    cfg_p = DecoderConfig(use_pallas=True)
+    cfg_p = DecoderConfig(use_pallas=True, use_stencil_conv=True)
     params = init_cnn_decoder(jax.random.PRNGKey(0), cfg_x)
     x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32)) * 0.1
 
@@ -281,5 +300,37 @@ def test_cnn_decoder_pallas_phase_align_grads(rng):
     np.testing.assert_allclose(float(vx), float(vp), rtol=1e-6)
     for a, b in zip(jax.tree_util.tree_leaves(gx),
                     jax.tree_util.tree_leaves(gp)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6)
+        denom = float(jnp.abs(a).max()) + 1e-9
+        assert float(jnp.abs(a - b).max()) / denom < 5e-4
+
+
+def test_stencil_phase_conv_exact_and_grad():
+    """Stencil-GEMM phase conv (conv+bias+ReLU+align in one kernel,
+    ops/pallas_conv.py) vs the XLA conv+align chain: forward exact, and the
+    custom-VJP backward (XLA-equivalent recompute) matches to roundoff."""
+    import jax
+    import jax.numpy as jnp
+
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+
+    p = init_cnn_decoder(jax.random.PRNGKey(0), DecoderConfig())
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 256)) * 0.5
+    ref = cnn_decoder_apply(p, x, DecoderConfig(fuse_upsample=False))
+    out = cnn_decoder_apply(p, x, DecoderConfig(fuse_upsample=True,
+                                                use_stencil_conv=True))
+    assert float(jnp.abs(out - ref).max()) < 1e-4
+
+    def loss(params, cfg):
+        return jnp.sum(jnp.square(cnn_decoder_apply(params, x, cfg)))
+
+    g_ref = jax.grad(loss)(p, DecoderConfig(fuse_upsample=True,
+                                            use_pallas=False))
+    g_pal = jax.grad(loss)(p, DecoderConfig(fuse_upsample=True,
+                                            use_stencil_conv=True))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_pal)):
+        denom = float(jnp.abs(a).max()) + 1e-9
+        assert float(jnp.abs(a - b).max()) / denom < 5e-4
