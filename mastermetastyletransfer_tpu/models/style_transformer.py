@@ -405,7 +405,9 @@ def _masked_instance_norm(x4, vm, count: float, eps: float = 1e-5,
 def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
                                      Fs: jnp.ndarray,
                                      cfg: StyleTransformerConfig, *,
-                                     k: int) -> jnp.ndarray:
+                                     k: int,
+                                     fuse_iteration: Optional[bool] = None
+                                     ) -> jnp.ndarray:
     """Window-RESIDENT eval fast path: partition Fc/Fs into (rolled, padded)
     windows ONCE, run all k iterations of encoder+decoder entirely in the
     (B, nW, N, C) layout, merge once at the end.
@@ -438,7 +440,7 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
         fused_decoder_tail, fused_encoder_scale_shift, fused_window_block,
     )
     from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
-        window_attention,
+        window_attention, window_attention_dual,
     )
     from mastermetastyletransfer_tpu.ops.windows import (
         relative_position_bias, shift_attention_mask, valid_token_mask,
@@ -507,12 +509,38 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
             enc["mlp_scale"], enc["mlp_shift"], n1p, vmask,
             interpret=_pallas_interpret())
 
+    # The iteration-fusion kernels hold the qkv streams, the shared
+    # softmax, and the 4C MLP hidden rows in one scoped-VMEM footprint —
+    # sized for 2-byte streams. At f32 they exceed the 16 MB scoped limit
+    # even at bsub=1 (measured r3: 18.4M under default_matmul_precision
+    # 'highest'), so f32 takes the separate-kernel formulation below.
+    # Interpret mode (CPU tests) has no VMEM limit — keep fusion covered
+    # there; pass fuse_iteration explicitly to pin either path.
+    if fuse_iteration is None:
+        fuse_iteration = (jnp.dtype(fc_w.dtype).itemsize == 2
+                          or _pallas_interpret())
+
+    def enc_scale_shift_split(Key, Scale, Shift):
+        qk = zp(ln_e(Key))
+        v1 = zp(ln_e(Scale))
+        v2 = zp(ln_e(Shift))
+        q = linear(e_attn["wq"], qk)
+        kk = linear(e_attn["wk"], qk)
+        shared = {"wv_scale": e_attn["wv"], "wv_shift": e_attn["wv"],
+                  "proj": e_attn["proj"]}
+        a1, a2 = window_attention_dual(shared, q, kk, v1, v2, bias_e,
+                                       mask_key, heads_e)
+        Scale = ln_mlp_residual(Scale + a1, enc["mlp_scale"], None)
+        Shift = ln_mlp_residual(Shift + a2, enc["mlp_shift"], None)
+        return Scale, Shift
+
     def encoder(Key, Scale, Shift):
+        ss = enc_scale_shift_fused if fuse_iteration else enc_scale_shift_split
         if cfg.encoder_if_use_processed_Key_in_Scale_and_Shift_calculation:
             Key = enc_key_block_fused(Key)
-            Scale, Shift = enc_scale_shift_fused(Key, Scale, Shift)
+            Scale, Shift = ss(Key, Scale, Shift)
         else:
-            Scale, Shift = enc_scale_shift_fused(Key, Scale, Shift)
+            Scale, Shift = ss(Key, Scale, Shift)
             Key = enc_key_block_fused(Key)
         return Key, Scale, Shift
 
@@ -573,9 +601,14 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
         # dual attention + sigma/mu modulation + last-MLP residual fused
         # (v streams zero-padded + projected in-kernel; q/k prepared above
         # because their INs need image-global statistics)
-        return fused_decoder_tail(
-            d_dual, q, kk, Scale, Shift, Query, bias_dual, mask_np,
-            heads_d, dec["last_mlp"], vmask, interpret=_pallas_interpret())
+        if fuse_iteration:
+            return fused_decoder_tail(
+                d_dual, q, kk, Scale, Shift, Query, bias_dual, mask_np,
+                heads_d, dec["last_mlp"], vmask,
+                interpret=_pallas_interpret())
+        sigma, mu = window_attention_dual(
+            d_dual, q, kk, zp(Scale), zp(Shift), bias_dual, mask_key, heads_d)
+        return ln_mlp_residual(Query * sigma + mu, dec["last_mlp"], None)
 
     Scale, Shift, Key, Fcs = fs_w, fs_w, fs_w, fc_w
     for _ in range(int(k)):

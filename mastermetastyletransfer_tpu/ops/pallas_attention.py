@@ -258,15 +258,25 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
     _unflat(acc_h + bp, mu_ref)
 
 
-def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072) -> int:
+def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072,
+               itemsize: int = 2) -> int:
     """Images per grid step: stack BSUB images' same-tile rows along
     sublanes so the in-kernel projections/MLP run as (BSUB*TWN, C) matmuls
     (up to 8x wider M than per-image tiles — the MXU is row-starved at
     TWN~245). Budgeted against the ~16MB VMEM: the block kernel's f32
     row-buffers (qkv 3C + MLP hidden 4C + residual) OOM just past
     BSUB*TWN*C ~ 128k elements (measured: 16.74M/16M at 8*245*128). Must
-    divide B so no image padding is needed."""
-    cap = min(8, max(1, budget // (c * twn)))
+    divide B so no image padding is needed.
+
+    Budgets are calibrated for bf16 (2-byte) streams; pass the input
+    itemsize so f32 inputs shrink the element budget. The scaling is
+    QUADRATIC in itemsize: f32 doubles the streamed blocks AND runs the
+    whole f32 scratch set against the same 16M limit (measured r3: the
+    fused encoder at the bf16 budget scoped 26.6M/16M; the block kernel
+    at a linear half-budget still scoped 21.8M/16M; quarter-budget
+    fits). f32 is the parity/compat path, so the conservative bsub is
+    fine."""
+    cap = min(8, max(1, (budget * 4 // (itemsize * itemsize)) // (c * twn)))
     for d in range(min(cap, b), 0, -1):
         if b % d == 0:
             return d
@@ -311,7 +321,7 @@ def fused_window_attention(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    bsub = _pick_bsub(b, c, twn)
+    bsub = _pick_bsub(b, c, twn, itemsize=q.dtype.itemsize)
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     kern = functools.partial(_kernel, heads=heads, scale=(c // heads) ** -0.5,
                              bsub=bsub)
@@ -353,7 +363,8 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     # The dual kernel holds two value streams and two output accumulators
     # (6 row-streams vs the single kernel's 4), so its VMEM headroom is
     # ~2/3 of the single kernel's — scale the row budget accordingly.
-    bsub = _pick_bsub(b, c, twn, budget=(131072 * 2) // 3)
+    bsub = _pick_bsub(b, c, twn, budget=(131072 * 2) // 3,
+                      itemsize=q.dtype.itemsize)
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     kern = functools.partial(_kernel_dual, heads=heads,
                              scale=(c // heads) ** -0.5, bsub=bsub)
@@ -517,7 +528,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
                             _linb(params, "wv", c, x.dtype)], axis=1)
 
     # per-window core frees the TWN^2 buffers -> roomier image batching
-    bsub = _pick_bsub(b, c, twn, budget=262144)
+    bsub = _pick_bsub(b, c, twn, budget=262144, itemsize=x.dtype.itemsize)
 
     win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -703,7 +714,8 @@ def _pw_wiring(b, nw, n, c, heads, x_list, mask, padmask, target_rows,
         pm4 = jnp.asarray(pm.reshape(nt, twn, 1))
     else:
         pm4 = jnp.zeros((nt, twn, 1), jnp.float32)
-    bsub = _pick_bsub(b, c, twn, budget=budget)
+    bsub = _pick_bsub(b, c, twn, budget=budget,
+                      itemsize=x_list[0].dtype.itemsize)
     win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
                         memory_space=pltpu.VMEM)
     wmat = pl.BlockSpec((c, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)

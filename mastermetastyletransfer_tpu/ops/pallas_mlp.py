@@ -59,16 +59,18 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _rows_tile(rows: int, c: int, hidden: int,
-               budget_rows: Optional[int] = None) -> int:
+               budget_rows: Optional[int] = None, itemsize: int = 2) -> int:
     """Row-tile size: multiple of 8 (fp32 sublane), <= budget. Prefers an
     exact divisor of `rows` (no pad); otherwise the caller pads the rows to
     a tile multiple. NEVER returns `rows` itself when it exceeds the budget
     — a (rows, 4C) f32 hidden buffer at e.g. rows=4900 OOMs the 16MB VMEM.
     Default budget: 1024 rows scaled down for wide hidden dims (measured
     2.4x faster than 512 at the style-transformer shape, roofline part_mlp;
-    the (rows, hidden) f32 buffer is the VMEM driver)."""
+    the (rows, hidden) f32 buffer is the VMEM driver). The budget is
+    calibrated for 2-byte input streams; f32 inputs halve it (measured r3:
+    tile 1024 at hidden 1024 scoped 16.95M/16M with f32 blocks)."""
     if budget_rows is None:
-        budget_rows = max(256, min(1024, (1 << 22) // hidden))
+        budget_rows = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
     t = min(budget_rows, rows)
     probe = t - t % 8
     while probe > 8 and rows % probe:
@@ -106,7 +108,7 @@ def fused_ln_mlp_residual(x: jnp.ndarray, mlp_params: dict,
         n_s = jnp.ones((1, c), x.dtype)
         n_b = jnp.zeros((1, c), x.dtype)
 
-    tile = _rows_tile(rows, c, hidden)
+    tile = _rows_tile(rows, c, hidden, itemsize=x.dtype.itemsize)
     pad = (-rows) % tile
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

@@ -107,7 +107,7 @@ def _bwd_kernel(x_ref, g_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref,
 def _run_bwd(x2, g2, n_s, n_b, w1, b1, w2, *, use_norm, eps, interpret):
     rows, c = x2.shape
     hidden = w1.shape[1]
-    tile = _rows_tile(rows, c, hidden)
+    tile = _rows_tile(rows, c, hidden, itemsize=x2.dtype.itemsize)
     pad = (-rows) % tile
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))

@@ -92,9 +92,17 @@ def main():
     ap.add_argument("--k", type=int, default=1)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--out", default="goldens/operating_points.json")
-    ap.add_argument("--points", default="float32,bfloat16,bfloat16+pallas",
-                    help="comma list from {float32, bfloat16, float32+pallas, "
-                         "bfloat16+pallas}")
+    ap.add_argument("--points",
+                    default="float32,float32-default,bfloat16,bfloat16+pallas",
+                    help="comma list from {float32, float32-default, bfloat16, "
+                         "float32+pallas, bfloat16+pallas}. Plain 'float32' "
+                         "runs under jax.default_matmul_precision('highest') — "
+                         "on TPU the DEFAULT matmul precision feeds the MXU "
+                         "bf16 passes even for f32 arrays, which is NOT a true "
+                         "f32 operating point (diagnosed r3: default-precision "
+                         "'f32' MAE tracked the bf16 point at ~1.7e-2 while "
+                         "CPU f32 is 2.9e-6). 'float32-default' keeps the old "
+                         "behavior, recorded for the precision-cost table.")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -146,6 +154,11 @@ def main():
         point = point.strip()
         dtype, _, flag = point.partition("+")
         use_pallas = flag == "pallas"
+        # "float32" = true f32 ('highest', 6-pass MXU); "float32-high" =
+        # 3-pass bf16 ('high'); "float32-default" = f32 arrays at default
+        # matmul precision (single bf16 MXU pass).
+        precision = {"float32": "highest", "float32-high": "high"}.get(dtype)
+        dtype = dtype.replace("-default", "").replace("-high", "")
         cfg = base.replace(compute_dtype=dtype)
         if use_pallas:
             cfg = cfg.replace(
@@ -154,8 +167,13 @@ def main():
                 decoder=cfg.decoder.replace(use_pallas=True))
 
         @jax.jit
-        def stylize(p, c, s, cfg=cfg):
-            return master_apply(p, c, s, cfg, k=args.k, deterministic=True)
+        def stylize(p, c, s, cfg=cfg, precision=precision):
+            if precision is None:
+                return master_apply(p, c, s, cfg, k=args.k,
+                                    deterministic=True)
+            with jax.default_matmul_precision(precision):
+                return master_apply(p, c, s, cfg, k=args.k,
+                                    deterministic=True)
 
         # MAE on the reference pair
         out1 = np.asarray(stylize(params, c1, s1), np.float32)
@@ -184,6 +202,11 @@ def main():
               f"{ips:8.2f} imgs/s")
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.exists(args.out):  # merge a partial-point run into the golden
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("meta", {}).get("size") == args.size:
+            results["points"] = {**prior["points"], **results["points"]}
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"wrote {args.out}")

@@ -163,6 +163,28 @@ def test_style_transformer_windowed_config_branches():
     assert not _st_windowed_ok(cfg, True)
 
 
+def test_style_transformer_windowed_split_fallback_parity():
+    """The f32 separate-kernel fallback (fuse_iteration=False — taken on
+    hardware when the compute dtype is 4-byte, where the iteration-fusion
+    kernels exceed the 16 MB scoped-VMEM limit even at bsub=1) matches the
+    fused formulation."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_transformer_apply_windowed,
+    )
+
+    cfg = StyleTransformerConfig(use_pallas=True)
+    params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+    fc = jax.random.normal(jax.random.PRNGKey(1), (2, 36, 36, 256)) * 0.5
+    fs = jax.random.normal(jax.random.PRNGKey(2), (2, 36, 36, 256)) * 0.5
+    for k in (1, 2):
+        fused = style_transformer_apply_windowed(
+            params, fc, fs, cfg, k=k, fuse_iteration=True)
+        split = style_transformer_apply_windowed(
+            params, fc, fs, cfg, k=k, fuse_iteration=False)
+        np.testing.assert_allclose(np.asarray(split), np.asarray(fused),
+                                   rtol=1e-4, atol=1e-4)
+
+
 def test_swin_variants_pallas_parity():
     """swin_T/S (embed dims 96/192): Mosaic rejects non-128-aligned lane
     reshapes on real hardware, so use_pallas must fall back to the XLA path
