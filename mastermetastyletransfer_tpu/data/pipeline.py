@@ -116,6 +116,7 @@ class PrefetchLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self._sampler = iter(InfiniteIndexSampler(len(dataset), seed))
+        self._window = prefetch + max(1, num_workers)
         self._tasks: "queue.Queue[Tuple[int, List[int]]]" = queue.Queue(
             maxsize=prefetch)
         self._results = {}
@@ -134,6 +135,19 @@ class PrefetchLoader:
     def _produce(self):
         seq = 0
         while not self._stop.is_set():
+            # Gate on CONSUMPTION, not just the task queue: without this,
+            # workers drain tasks into `_results` as fast as they decode and
+            # the producer refills, so decoded-but-unconsumed batches (and
+            # the decode threads' CPU use) grow without bound whenever the
+            # consumer stalls — e.g. a minutes-long XLA compile was starved
+            # by 8+ decode threads spinning at full tilt (r3 regression:
+            # trainer e2e tests went from ~1 min to >10 min each).
+            with self._cond:
+                while (not self._stop.is_set()
+                       and seq >= self._next_seq + self._window):
+                    self._cond.wait(0.5)
+            if self._stop.is_set():
+                break
             idx = [next(self._sampler) for _ in range(self.batch_size)]
             while not self._stop.is_set():
                 try:
@@ -168,6 +182,7 @@ class PrefetchLoader:
                 self._cond.wait(0.5)
             batch = self._results.pop(self._next_seq)
             self._next_seq += 1
+            self._cond.notify_all()  # wake the gated producer
             return batch
 
     def close(self):

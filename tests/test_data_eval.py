@@ -148,3 +148,26 @@ def test_prefetch_loader_deterministic_order(tmp_path):
     for x, y, z in zip(a, b, c):
         np.testing.assert_array_equal(x, y)
         np.testing.assert_array_equal(y, z)
+
+
+def test_prefetch_loader_bounded_when_consumer_stalls(tmp_path):
+    """A stalled consumer must NOT let the producer/workers run ahead
+    without bound (r3 regression: unbounded `_results` growth kept 8+
+    decode threads spinning through every multi-minute XLA compile,
+    inflating trainer e2e tests from ~1 min to >10 min each)."""
+    import time
+
+    d = tmp_path / "imgs"
+    _write_images(str(d), 10, seed=3)
+    ds = ImageFolderDataset(str(d), resize_to=32)
+    loader = PrefetchLoader(ds, batch_size=2, num_workers=3, seed=0,
+                            prefetch=2)
+    try:
+        next(loader)  # let the pipeline spin up
+        time.sleep(2.0)  # consumer stalls; workers would run unbounded
+        with loader._cond:
+            backlog = len(loader._results)
+        # window = prefetch + num_workers; allow the tasks queue in flight
+        assert backlog <= 2 + 3 + 2, backlog
+    finally:
+        loader.close()
