@@ -18,6 +18,7 @@ import argparse
 import itertools
 import json
 import os
+import sys
 from typing import List
 
 import numpy as np
@@ -67,6 +68,48 @@ def run_sweep(content, style, output, *, vgg_params_by_kind: dict,
     return rows
 
 
+def render_grid(triplets, rows_by_triplet, path: str):
+    """Annotated image grid, one row per (content, style, stylized) triplet
+    with the loss values printed beside the stylized image — the reference
+    demo's 3x3 matplotlib figure (codes/loss.py:528-608: imshow content/
+    style/output per row, red loss text at the output's right edge).
+
+    Annotates the ImageNet-normalized euclidian_squared plain-VGG config —
+    the reference demo's default (codes/loss.py:404-417).
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(triplets)
+    fig, ax = plt.subplots(n, 3, figsize=(14, 4 * n), squeeze=False)
+    for i, (c, s, o) in enumerate(triplets):
+        for j, (img, title) in enumerate(
+                ((c, "Content Image"), (s, "Style Image"),
+                 (o, f"Output Image (triplet {i})"))):
+            ax[i][j].imshow(np.clip(img, 0.0, 1.0))
+            ax[i][j].set_title(title)
+            ax[i][j].axis("off")
+        rows = rows_by_triplet[i]
+        best = next((r for r in rows
+                     if r["vgg"] == "plain" and r["imagenet_norm"]
+                     and r["distance"] == "euclidian_squared"), rows[0])
+        h = c.shape[0]
+        lines = [(f"plain VGG, {best['distance']}, "
+                  f"norm={best['imagenet_norm']}", "green"),
+                 (f"Total Loss:    {best['total']:.4g}", "red"),
+                 (f"Content Loss:  {best['content']:.4g}", "red"),
+                 (f"Style Loss:    {best['style']:.4g}", "red")]
+        if "similarity" in best:
+            lines.append((f"Similarity Loss: {best['similarity']:.4g}", "red"))
+        for li, (text, color) in enumerate(lines):
+            ax[i][2].text(c.shape[1] * 1.05, h * (0.15 + 0.12 * li), text,
+                          fontsize=12, color=color, clip_on=False)
+    fig.tight_layout()
+    fig.savefig(path, bbox_inches="tight")
+    plt.close(fig)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--content", required=True)
@@ -79,6 +122,9 @@ def main(argv=None):
     ap.add_argument("--vgg_bn_weights", default=None,
                     help=".npz or .pt (batchnorm variant; optional)")
     ap.add_argument("--compute_similarity", action="store_true")
+    ap.add_argument("--render", default=None, metavar="GRID_PNG",
+                    help="also write the annotated image grid (reference "
+                         "codes/loss.py:528-608) to this path")
     args = ap.parse_args(argv)
 
     from mastermetastyletransfer_tpu.train.trainer import load_vgg_params
@@ -92,14 +138,20 @@ def main(argv=None):
     outputs = _load_images(args.output, args.image_size)
 
     all_rows = []
+    rows_by_triplet = []
     for i, (c, s, o) in enumerate(zip(contents, styles, outputs)):
         rows = run_sweep(c, s, o, vgg_params_by_kind=vggs,
                          lambda_value=args.lambda_value,
                          compute_similarity=args.compute_similarity)
         for r in rows:
             r["triplet"] = i
+        rows_by_triplet.append(rows)
         all_rows.extend(rows)
     print(json.dumps(all_rows, indent=2))
+    if args.render:
+        render_grid(list(zip(contents, styles, outputs)), rows_by_triplet,
+                    args.render)
+        print(f"wrote {args.render}", file=sys.stderr)
 
 
 if __name__ == "__main__":

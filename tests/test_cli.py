@@ -53,3 +53,20 @@ def test_loss_calibration_sweep(rng):
         assert np.isfinite(r["total"]) and np.isfinite(r["style"])
     # L2 differs from L1
     assert rows[0]["total"] != rows[2]["total"]
+
+
+def test_loss_calibration_render_grid(tmp_path, rng):
+    from mastermetastyletransfer_tpu.losses.calibrate import (
+        render_grid, run_sweep,
+    )
+    from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+    import jax
+
+    vgg = init_vgg19_features(jax.random.PRNGKey(0))
+    triplets = [tuple(rng.random((64, 64, 3)).astype(np.float32)
+                      for _ in range(3))]
+    rows = run_sweep(*triplets[0], vgg_params_by_kind={"plain": vgg})
+    out = str(tmp_path / "grid.png")
+    render_grid(triplets, [rows], out)
+    import os
+    assert os.path.getsize(out) > 1000  # a real PNG, not an empty figure
