@@ -93,7 +93,8 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--out", default="goldens/operating_points.json")
     ap.add_argument("--points",
-                    default="float32,float32-default,bfloat16,bfloat16+pallas",
+                    default="float32,float32-default,float32-high,"
+                            "float32+pallas,bfloat16,bfloat16+pallas",
                     help="comma list from {float32, float32-default, bfloat16, "
                          "float32+pallas, bfloat16+pallas}. Plain 'float32' "
                          "runs under jax.default_matmul_precision('highest') — "
