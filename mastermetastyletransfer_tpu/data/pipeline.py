@@ -97,6 +97,14 @@ class ImageFolderDataset:
         return np.stack([self[i] for i in indices])
 
 
+class _LoadError:
+    """A worker-side batch failure, delivered in-sequence to the consumer."""
+
+    def __init__(self, indices, error):
+        self.indices = indices
+        self.error = error
+
+
 class PrefetchLoader:
     """Thread-pool batch loader with a bounded prefetch window and
     DETERMINISTIC batch order.
@@ -163,10 +171,17 @@ class PrefetchLoader:
                 seq, idx = self._tasks.get(timeout=0.5)
             except queue.Empty:
                 continue
-            if hasattr(self.dataset, "get_batch"):
-                batch = self.dataset.get_batch(idx)
-            else:
-                batch = np.stack([self.dataset[i] for i in idx])
+            try:
+                if hasattr(self.dataset, "get_batch"):
+                    batch = self.dataset.get_batch(idx)
+                else:
+                    batch = np.stack([self.dataset[i] for i in idx])
+            except Exception as e:  # noqa: BLE001
+                # Deliver the failure for this seq instead of dying: a dead
+                # worker would leave a hole in the sequence and __next__
+                # would wait on it forever (silent training hang). Raising
+                # at the consumer is deterministic and names the bad input.
+                batch = _LoadError(idx, e)
             with self._cond:
                 self._results[seq] = batch
                 self._cond.notify_all()
@@ -183,7 +198,11 @@ class PrefetchLoader:
             batch = self._results.pop(self._next_seq)
             self._next_seq += 1
             self._cond.notify_all()  # wake the gated producer
-            return batch
+        if isinstance(batch, _LoadError):
+            raise RuntimeError(
+                f"batch load failed for dataset indices {batch.indices}"
+            ) from batch.error
+        return batch
 
     def close(self):
         self._stop.set()

@@ -483,30 +483,11 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     projections as exact zeros. Returns x + attn(LN1(x)) + mlp(LN2(.)) in
     the same layout."""
     b, nw, n, c = x.shape
-    tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
+    (tw, nw_pad, nt, twn, (x5,), mask_pw, pm4, bsub,
+     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+        b, nw, n, c, heads, [x], mask, padmask, target_rows, budget=262144)
 
-    x5 = _pad_windows(x, nw_pad).reshape(b, nt, tw, n, c)
-    mask_pw = np.zeros((nw_pad, n, n), np.float32)
-    if mask is not None:
-        mask_pw[:nw] = np.asarray(mask, np.float32)
-    mask_pw = jnp.asarray(mask_pw.reshape(nt, tw, n, n), jnp.bfloat16)
-
-    if padmask is not None and padmask.min() >= 1.0:
-        padmask = None            # every token valid: skip the multiply
-    if padmask is not None:
-        pm = np.zeros((nw_pad, n), np.float32)
-        pm[:nw] = np.asarray(padmask, np.float32)
-        pm4 = jnp.asarray(pm.reshape(nt, twn, 1))
-    else:
-        pm4 = jnp.zeros((nt, twn, 1), jnp.float32)  # unread (use_padmask=False)
-
-    w1 = mlp_params["fc1"]["kernel"]
-    hidden = w1.shape[1]
-    b1 = mlp_params["fc1"].get("bias")
-    w2 = mlp_params["fc2"]["kernel"]
-    b2 = mlp_params["fc2"].get("bias")
-    b1 = jnp.zeros((1, hidden), x.dtype) if b1 is None else b1.reshape(1, hidden)
-    b2 = jnp.zeros((1, c), x.dtype) if b2 is None else b2.reshape(1, c)
+    w1, b1, w2, b2, hidden = _mlp_weights(mlp_params, c, x.dtype)
     if norm2 is not None:
         n2s = norm2["scale"].reshape(1, c)
         n2b = norm2["bias"].reshape(1, c)
@@ -527,17 +508,6 @@ def fused_window_block(params: dict, x: jnp.ndarray,
                             _linb(params, "wk", c, x.dtype),
                             _linb(params, "wv", c, x.dtype)], axis=1)
 
-    # per-window core frees the TWN^2 buffers -> roomier image batching
-    bsub = _pick_bsub(b, c, twn, budget=262144, itemsize=x.dtype.itemsize)
-
-    win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    wmat = pl.BlockSpec((c, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
-    wvec = pl.BlockSpec((1, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
-    rbias = pl.BlockSpec((heads, n, n), lambda j, i: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    mspec = pl.BlockSpec((1, tw, n, n), lambda j, i: (j, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
     w3mat = pl.BlockSpec((c, 3 * c), lambda j, i: (0, 0),
                          memory_space=pltpu.VMEM)
     w3vec = pl.BlockSpec((1, 3 * c), lambda j, i: (0, 0),
@@ -545,13 +515,12 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     hmat = pl.BlockSpec((c, hidden), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
     hmat_t = pl.BlockSpec((hidden, c), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
     hvec = pl.BlockSpec((1, hidden), lambda j, i: (0, 0), memory_space=pltpu.VMEM)
-    pmspec = pl.BlockSpec((1, twn, 1), lambda j, i: (j, 0, 0),
-                          memory_space=pltpu.VMEM)
 
     kern = functools.partial(_kernel_block_pw, heads=heads,
                              scale=(c // heads) ** -0.5,
                              use_norm1=norm1 is not None,
-                             use_padmask=padmask is not None,
+                             use_padmask=padmask is not None
+                             and padmask.min() < 1.0,
                              use_norm2=norm2 is not None,
                              bsub=bsub)
     out = pl.pallas_call(

@@ -235,8 +235,12 @@ def make_handler(services: dict, sweep_service: Optional["SweepService"],
         def do_POST(self):
             url = urlparse(self.path)
             q = parse_qs(url.query)
-            k = int(q.get("k", [default_k])[0])
             try:
+                try:
+                    k = int(q.get("k", [default_k])[0])
+                except ValueError:
+                    self._reply(400, b"k must be an integer", "text/plain")
+                    return
                 pair = self._read_pair()
                 if pair is None:
                     self._reply(400, b"expected multipart/form-data",
@@ -257,7 +261,13 @@ def make_handler(services: dict, sweep_service: Optional["SweepService"],
                                     "text/plain")
                         return
                     import base64
-                    outs = sweep_service.sweep(content, style, k=k)
+                    try:
+                        outs = sweep_service.sweep(content, style, k=k)
+                    except KeyError as e:
+                        # client error (unserved k), not a server fault —
+                        # mirror /stylize's 400
+                        self._reply(400, str(e).encode(), "text/plain")
+                        return
                     payload = {name: base64.b64encode(
                         _encode_jpeg(img)).decode() for name, img in outs.items()}
                     self._reply(200, json.dumps(payload).encode(),

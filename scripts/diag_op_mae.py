@@ -21,11 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import torch
 
-from tests import tv_shim
-from tests.torch_swin_ref import build_tv_swin_features
-
-codes = tv_shim.import_reference_codes()
-
 from mastermetastyletransfer_tpu.config import (
     ModelConfig, StyleTransformerConfig, SwinConfig,
 )
@@ -45,35 +40,19 @@ def mae(a, b):
 
 
 def main():
-    tmp = tempfile.mkdtemp()
-    tv_swin = build_tv_swin_features(embed_dim=128, num_heads=(4, 8),
-                                     window_size=(7, 7), seed=9).eval()
-    models_dir = os.path.join(tmp, "models")
-    os.makedirs(models_dir, exist_ok=True)
-    torch.save(tv_swin, os.path.join(models_dir, "swin_B_first_2_stages.pt"))
+    # matched-weights construction SHARED with the measurement script —
+    # any divergence here would make the diagnosis explain a different
+    # model than the one measured
+    from scripts.operating_points import build_reference
 
-    orig_load = torch.load
-    torch.load = lambda *a, **kw: orig_load(*a, **{**kw, "weights_only": False})
-    try:
-        torch.manual_seed(10)
-        ref = codes.full_model.MasterStyleTransferModel(
-            project_absolute_path=tmp,
-            swin_model_relative_path=os.path.join(
-                "models", "swin_B_first_2_stages.pt"),
-            style_encoder_window_size=[7, 7],
-            style_decoder_window_size=[7, 7],
-            style_encoder_shift_size=[4, 4],
-            style_decoder_shift_size=[4, 4],
-        ).eval()
-    finally:
-        torch.load = orig_load
+    tmp = tempfile.mkdtemp()
+    whole_sd, _, _, _, ref = build_reference(tmp, size=256, k=1)
 
     cfg = ModelConfig(
         swin=SwinConfig.for_variant("swin_B").replace(window_size=(7, 7)),
         transformer=StyleTransformerConfig(),
     )
     template = init_master_model(jax.random.PRNGKey(0), cfg)
-    whole_sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
     params = convert_whole_model(whole_sd, template, cfg)
 
     for size in (256, 384, 448, 512):

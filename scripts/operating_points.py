@@ -82,7 +82,7 @@ def build_reference(tmp, size, k, seed_swin=9, seed_model=10):
 
     whole_sd = {kk: v.detach().numpy() for kk, v in ref.state_dict().items()}
     return (whole_sd, content.transpose(0, 2, 3, 1),
-            style.transpose(0, 2, 3, 1), out_ref.transpose(0, 2, 3, 1))
+            style.transpose(0, 2, 3, 1), out_ref.transpose(0, 2, 3, 1), ref)
 
 
 def main():
@@ -107,7 +107,7 @@ def main():
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
-        whole_sd, content, style, out_ref = build_reference(
+        whole_sd, content, style, out_ref, _ = build_reference(
             tmp, args.size, args.k)
 
     import jax
@@ -206,7 +206,11 @@ def main():
     if os.path.exists(args.out):  # merge a partial-point run into the golden
         with open(args.out) as f:
             prior = json.load(f)
-        if prior.get("meta", {}).get("size") == args.size:
+        pm = prior.get("meta", {})
+        # merge ONLY when the operating condition is identical — a size/
+        # batch/k mismatch would mix points from different conditions under
+        # one meta block
+        if all(pm.get(f) == results["meta"][f] for f in ("size", "batch", "k")):
             results["points"] = {**prior["points"], **results["points"]}
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -149,6 +149,24 @@ def test_http_k_routing_and_lambda_sweep():
         except urllib.error.HTTPError as e:
             assert e.code == 400
 
+        # malformed k -> 400, not a dropped connection (r3 review finding)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize?k=abc", data=body, headers=hdrs)
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # unserved sweep k -> 400 like /stylize (r3 review finding)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/sweep?k=9", data=body, headers=hdrs)
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/sweep?k=1", data=body, headers=hdrs)
         with urllib.request.urlopen(req, timeout=300) as r:
