@@ -668,7 +668,13 @@ def _kernel_enc_ss(key_ref, scale_ref, shift_ref,
 def _pw_wiring(b, nw, n, c, heads, x_list, mask, padmask, target_rows,
                budget):
     """Shared per-window-core wiring: pad + 5D-tile the inputs, build the
-    raw per-tile mask and padmask blocks, pick bsub, return specs."""
+    raw per-tile mask and padmask blocks, pick bsub, return specs.
+
+    NOT batch-adaptive: growing the tile at small batches (tw 41 at b=1,
+    filling the same VMEM row budget BSUB fills at b=8) was A/B'd on the
+    real chip in r3 and made batch-1 latency WORSE (p50 33.7 -> 41-50 ms;
+    throughput at b=8 unaffected) — 9 giant grid steps lose the
+    compute/copy overlap that 74 small steps pipeline. Keep tw fixed."""
     tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
     x5 = [_pad_windows(x, nw_pad).reshape(b, nt, tw, n, c) for x in x_list]
     mask_pw = np.zeros((nw_pad, n, n), np.float32)
