@@ -98,6 +98,54 @@ def bench_infer(args):
     }))
 
 
+def bench_locked(args):
+    """Style-locked serving throughput: one style's swin pass + k encoder
+    triples precomputed once (models.encode_style_stream), every batch pays
+    only content swin + transformer decoder + CNN decoder. The classic
+    one-style/many-contents serving workload; the reference recomputes the
+    full pair pipeline per request (codes/full_model.py:219-226)."""
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.models.master import (
+        encode_style_stream, stylize_with_style_stream,
+    )
+
+    cfg = _build_cfg(args)
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+
+    b, s = args.batch, args.size
+    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
+    style = jax.random.uniform(jax.random.PRNGKey(2), (1, s, s, 3), jnp.float32)
+
+    stream = jax.jit(
+        lambda p, st: encode_style_stream(p, st, cfg, k=args.k))(params, style)
+
+    @jax.jit
+    def stylize(params, content, stream):
+        return stylize_with_style_stream(params, content, stream, cfg)
+
+    for _ in range(args.warmup):
+        _sync(stylize(params, content, stream))
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = stylize(params, content, stream)
+        _sync(out)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    imgs_per_sec = args.iters * b / best_dt
+    baseline = 500.0
+    print(json.dumps({
+        "metric": (f"{s}x{s} style-locked stylized imgs/sec/chip "
+                   f"(k={args.k}, {args.dtype})"),
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 4),
+    }))
+
+
 def bench_latency(args):
     """p50/p90 end-to-end batch-1 latency (submit -> pixel on host)."""
     from mastermetastyletransfer_tpu.models import init_master_model
@@ -193,7 +241,7 @@ def bench_train(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["infer", "latency", "train"],
+    ap.add_argument("--mode", choices=["infer", "latency", "train", "locked"],
                     default="infer")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
@@ -217,7 +265,7 @@ def main():
     args = ap.parse_args()
 
     {"infer": bench_infer, "latency": bench_latency,
-     "train": bench_train}[args.mode](args)
+     "train": bench_train, "locked": bench_locked}[args.mode](args)
 
 
 if __name__ == "__main__":

@@ -75,24 +75,26 @@ def evaluate_grid(params, vgg_params, cfg: ExperimentConfig, *,
     style_names = style_names or [f"style{i}" for i in range(S)]
 
     from mastermetastyletransfer_tpu.models.master import (
-        encode_features, stylize_from_features,
+        encode_features, encode_style_stream,
+        stylize_from_features_with_stream,
     )
 
     @jax.jit
     def encode_styles(params, styles):
         ms = prepare_batch_for_model(styles, styles, cfg.data)[1]
-        return encode_features(params, ms, cfg.model)
+        return encode_style_stream(params, ms, cfg.model, k=k)
 
     @jax.jit
-    def eval_batch(params, content_one, styles, fs):
-        """Style encoder features are precomputed once per style and reused
-        across every content (exact; the grid reuses each style C times)."""
+    def eval_batch(params, content_one, styles, stream):
+        """Everything content-independent — the style swin pass AND the k
+        style-transformer encoder triples — is precomputed once per style
+        and reused across every content (exact; the grid reuses each style
+        C times; the reference recomputes per pair)."""
         b = styles.shape[0]
         content = jnp.tile(content_one[None], (b, 1, 1, 1))
         mc = prepare_batch_for_model(content, styles, cfg.data)[0]
         fc = encode_features(params, mc, cfg.model)
-        out = stylize_from_features(params, fc, fs, cfg.model, k=k,
-                                    deterministic=True)
+        out = stylize_from_features_with_stream(params, fc, stream, cfg.model)
         lc, ls, lo = _loss_views(content, styles, out, cfg.data)
         losses = perceptual_loss(
             vgg_params, lc, ls, lo, cfg.loss,

@@ -17,6 +17,7 @@ from mastermetastyletransfer_tpu.config import ModelConfig
 from mastermetastyletransfer_tpu.models.decoder import cnn_decoder_apply, init_cnn_decoder
 from mastermetastyletransfer_tpu.models.style_transformer import (
     init_style_transformer, style_transformer_apply,
+    style_transformer_apply_from_stream, style_transformer_stream,
 )
 from mastermetastyletransfer_tpu.models.swin import init_swin_backbone, swin_backbone_apply
 
@@ -110,6 +111,38 @@ def stylize_from_features(params: dict, fc: jnp.ndarray, fs: jnp.ndarray,
         k=k, max_k=max_k, deterministic=deterministic, rng=rng)
     out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
     return out.astype(jnp.float32)
+
+
+def encode_style_stream(params: dict, style: jnp.ndarray, cfg: ModelConfig,
+                        *, k: int):
+    """Everything content-independent for one style: swin features + the k
+    style-transformer encoder triples (Key, Scale, Shift). The reference
+    recomputes all of it per (content, style) pair
+    (codes/full_model.py:219-226); computing it once per style is exact —
+    the encoder consumes only the style stream — and removes the style swin
+    pass AND the encoder half of every transformer iteration from each
+    subsequent content (style-locked serving, eval-grid sweeps)."""
+    fs = encode_features(params, style, cfg)
+    return style_transformer_stream(
+        params["style_transformer"], fs, cfg.transformer, k=k)
+
+
+def stylize_from_features_with_stream(params: dict, fc: jnp.ndarray, stream,
+                                      cfg: ModelConfig) -> jnp.ndarray:
+    """Transformer decoder + CNN decoder on precomputed content features and
+    a precomputed style stream (encode_style_stream, same cfg)."""
+    fcs = style_transformer_apply_from_stream(
+        params["style_transformer"], fc, stream, cfg.transformer)
+    out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
+    return out.astype(jnp.float32)
+
+
+def stylize_with_style_stream(params: dict, content: jnp.ndarray, stream,
+                              cfg: ModelConfig) -> jnp.ndarray:
+    """Stylize a content batch against one precomputed style stream; a
+    batch-1 stream broadcasts over the whole content batch."""
+    fc = encode_features(params, content, cfg)
+    return stylize_from_features_with_stream(params, fc, stream, cfg)
 
 
 def make_stylize_fn(cfg: ModelConfig, k: int = 1):

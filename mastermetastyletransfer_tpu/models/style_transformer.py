@@ -433,9 +433,41 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
       * Residual sources follow codes/style_transformer.py:382-386 (q for
         Key/self blocks, v for Scale/Shift).
     """
-    from mastermetastyletransfer_tpu.ops.attention import (
-        _finalize, _prepare,
-    )
+    from mastermetastyletransfer_tpu.ops.attention import _prepare
+
+    acfg = cfg.encoder_attn()
+    (fc_w, fs_w), geom = _prepare([Fc, Fs], acfg.window_size, acfg.shift_size)
+    fc_w, fs_w = _to4(fc_w, geom["b"]), _to4(fs_w, geom["b"])
+    encoder, decoder = _windowed_machinery(params, cfg, geom, fc_w.dtype,
+                                           fuse_iteration)
+
+    Scale, Shift, Key, Fcs = fs_w, fs_w, fs_w, fc_w
+    for _ in range(int(k)):
+        Key, Scale, Shift = encoder(Key, Scale, Shift)
+        Fcs = decoder(Fcs, Key, Scale, Shift)
+    return _finalize_windowed(Fcs, geom, acfg.window_size)
+
+
+def _to4(x, b):
+    bn, n, c = x.shape
+    return x.reshape(b, bn // b, n, c)
+
+
+def _finalize_windowed(Fcs, geom, window_size):
+    from mastermetastyletransfer_tpu.ops.attention import _finalize
+
+    return _finalize(Fcs.reshape(-1, Fcs.shape[2], Fcs.shape[3]), geom,
+                     window_size)
+
+
+def _windowed_machinery(params, cfg, geom, dtype,
+                        fuse_iteration: Optional[bool] = None):
+    """Build the window-resident (encoder, decoder) closures for one
+    geometry. encoder: (Key, Scale, Shift) -> updated triple; decoder:
+    (Fcs, Key, Scale, Shift) -> Fcs' — all (B, nW, N, C) window tensors.
+    Shared by the interleaved fast path and the split style-stream API
+    (the encoder triple evolves from STYLE only, so a fixed style's k
+    encoder steps can be computed once and reused across contents)."""
     from mastermetastyletransfer_tpu.ops.pallas_attention import (
         fused_decoder_tail, fused_encoder_scale_shift, fused_window_block,
     )
@@ -450,15 +482,7 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
     wh, ww = acfg.window_size
     heads_e = cfg.encoder_num_heads
     heads_d = cfg.decoder_num_heads
-
-    (fc_w, fs_w), geom = _prepare([Fc, Fs], acfg.window_size, acfg.shift_size)
     b = geom["b"]
-
-    def to4(x):
-        bn, n, c = x.shape
-        return x.reshape(b, bn // b, n, c)
-
-    fc_w, fs_w = to4(fc_w), to4(fs_w)
 
     mask_key = None
     if geom["sh"] or geom["sw"]:
@@ -517,7 +541,7 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
     # Interpret mode (CPU tests) has no VMEM limit — keep fusion covered
     # there; pass fuse_iteration explicitly to pin either path.
     if fuse_iteration is None:
-        fuse_iteration = (jnp.dtype(fc_w.dtype).itemsize == 2
+        fuse_iteration = (jnp.dtype(dtype).itemsize == 2
                           or _pallas_interpret())
 
     def enc_scale_shift_split(Key, Scale, Shift):
@@ -610,14 +634,66 @@ def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
             d_dual, q, kk, zp(Scale), zp(Shift), bias_dual, mask_key, heads_d)
         return ln_mlp_residual(Query * sigma + mu, dec["last_mlp"], None)
 
-    Scale, Shift, Key, Fcs = fs_w, fs_w, fs_w, fc_w
+    return encoder, decoder
+
+
+def style_stream_windowed(params: dict, Fs: jnp.ndarray,
+                          cfg: StyleTransformerConfig, *, k: int,
+                          fuse_iteration: Optional[bool] = None):
+    """Precompute the k (Key, Scale, Shift) encoder triples for one style —
+    they evolve from Fs alone (reference codes/style_transformer.py:
+    1229-1245: the encoder consumes only the style stream), so a fixed
+    style's stream can be reused EXACTLY across any number of contents of
+    the same spatial size. Returns a list of k window-layout triples."""
+    from mastermetastyletransfer_tpu.ops.attention import _prepare
+
+    acfg = cfg.encoder_attn()
+    (fs_w,), geom = _prepare([Fs], acfg.window_size, acfg.shift_size)
+    fs_w = _to4(fs_w, geom["b"])
+    encoder, _ = _windowed_machinery(params, cfg, geom, fs_w.dtype,
+                                     fuse_iteration)
+    Key = Scale = Shift = fs_w
+    stream = []
     for _ in range(int(k)):
         Key, Scale, Shift = encoder(Key, Scale, Shift)
-        Fcs = decoder(Fcs, Key, Scale, Shift)
+        stream.append((Key, Scale, Shift))
+    return stream
 
-    out = _finalize(Fcs.reshape(-1, Fcs.shape[2], Fcs.shape[3]), geom,
-                    acfg.window_size)
-    return out
+
+def style_apply_windowed_from_stream(params: dict, Fc: jnp.ndarray, stream,
+                                     cfg: StyleTransformerConfig, *,
+                                     fuse_iteration: Optional[bool] = None
+                                     ) -> jnp.ndarray:
+    """Run the decoder half of the windowed fast path against a precomputed
+    style stream (style_stream_windowed). Fc must have the spatial size the
+    stream was built at."""
+    from mastermetastyletransfer_tpu.ops.attention import _prepare
+
+    acfg = cfg.encoder_attn()
+    (fc_w,), geom = _prepare([Fc], acfg.window_size, acfg.shift_size)
+    fc_w = _to4(fc_w, geom["b"])
+    if stream and stream[0][0].shape[1:] != fc_w.shape[1:]:
+        raise ValueError(
+            f"style stream geometry {stream[0][0].shape[1:]} does not match "
+            f"content windows {fc_w.shape[1:]} — stream and content must "
+            f"share (H, W)")
+    _, decoder = _windowed_machinery(params, cfg, geom, fc_w.dtype,
+                                     fuse_iteration)
+
+    bc = fc_w.shape[0]
+
+    def bcast(t):
+        """One style serves a whole content batch (style-locked serving)."""
+        if t.shape[0] == bc:
+            return t
+        if t.shape[0] == 1:
+            return jnp.broadcast_to(t, (bc,) + t.shape[1:])
+        raise ValueError(f"stream batch {t.shape[0]} vs content batch {bc}")
+
+    Fcs = fc_w
+    for Key, Scale, Shift in stream:
+        Fcs = decoder(Fcs, bcast(Key), bcast(Scale), bcast(Shift))
+    return _finalize_windowed(Fcs, geom, acfg.window_size)
 
 
 def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
@@ -692,3 +768,49 @@ def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
 
     return jax.lax.switch(k - 1, [make_branch(d + 1) for d in range(max_k)],
                           (Fc, Fs, Scale, Shift))
+
+
+def style_transformer_stream(params: dict, Fs: jnp.ndarray,
+                             cfg: StyleTransformerConfig, *, k: int):
+    """Content-independent half of the style transformer: the k encoder
+    triples (Key, Scale, Shift) evolved from Fs (reference
+    codes/style_transformer.py:1229-1245 — the encoder consumes only the
+    style stream). Deterministic (eval) only. Pair with
+    style_transformer_apply_from_stream, which must see the SAME cfg (the
+    stream layout is windowed iff the windowed fast path is eligible)."""
+    if _st_windowed_ok(cfg, True):
+        return style_stream_windowed(params, Fs, cfg, k=int(k))
+    Key, Scale, Shift = Fs, Fs, Fs
+    stream = []
+    for _ in range(int(k)):
+        Key, Scale, Shift = style_encoder_apply(
+            params["encoder"], Key, Scale, Shift, cfg,
+            deterministic=True, rng=None)
+        stream.append((Key, Scale, Shift))
+    return stream
+
+
+def style_transformer_apply_from_stream(params: dict, Fc: jnp.ndarray,
+                                        stream,
+                                        cfg: StyleTransformerConfig
+                                        ) -> jnp.ndarray:
+    """Decode Fc against a precomputed style stream
+    (style_transformer_stream with the same cfg). A batch-1 stream
+    broadcasts over any content batch (style-locked serving)."""
+    if _st_windowed_ok(cfg, True):
+        return style_apply_windowed_from_stream(params, Fc, stream, cfg)
+
+    bc = Fc.shape[0]
+
+    def bcast(t):
+        if t.shape[0] == bc:
+            return t
+        if t.shape[0] == 1:
+            return jnp.broadcast_to(t, (bc,) + t.shape[1:])
+        raise ValueError(f"stream batch {t.shape[0]} vs content batch {bc}")
+
+    for Key, Scale, Shift in stream:
+        Fc = style_decoder_apply(
+            params["decoder"], Fc, bcast(Key), bcast(Scale), bcast(Shift),
+            cfg, deterministic=True, rng=None)
+    return Fc

@@ -22,6 +22,12 @@ device batch (per-image work is independent, so batching is free throughput).
       one vmapped device call over the stacked parameter axis
       (inference.make_lambda_sweep_fn), not N serial runs.
 
+    Style-locked serving (one style, many contents — the style swin pass
+    and the k encoder triples are precomputed once per style at startup;
+    each request pays only the content half of the pipeline):
+      --locked_style vangogh=starry.jpg
+      POST /stylize_locked?style=vangogh&k=1 -F content=@cat.jpg -o out.jpg
+
 Stdlib-only HTTP (no external web framework in the image); JAX dispatch is
 single-threaded behind a lock with request coalescing.
 """
@@ -118,6 +124,104 @@ class StylizeService:
         return payload
 
 
+class LockedStyleService:
+    """Style-locked serving: the style's swin pass AND the k style-
+    transformer encoder triples are computed ONCE per (style, k) at startup
+    (models.encode_style_stream — exact, the encoder consumes only the
+    style stream), so each request pays only content swin + transformer
+    decoder + CNN decoder. This is the classic style-transfer serving
+    workload (one style, many contents); the reference recomputes the full
+    pair pipeline per request (codes/full_model.py:219-226).
+
+    Requests micro-batch per (style, k): one dispatch thread per key, all
+    serialized behind one device lock."""
+
+    def __init__(self, params, cfg, styles: dict, *, size: int = 512,
+                 ks: List[int] = (1,), max_batch: int = 8,
+                 window_ms: float = 5.0):
+        import jax
+
+        from mastermetastyletransfer_tpu.models.master import (
+            encode_style_stream, stylize_with_style_stream,
+        )
+
+        self.params = params
+        self.size = size
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self.names = list(styles.keys())
+        self.ks = list(ks)
+        self._jax = jax
+        self._lock = threading.Lock()
+
+        enc = {k: jax.jit(lambda p, s, k=k: encode_style_stream(
+            p, s, cfg, k=k)) for k in self.ks}
+        self._streams = {
+            (name, k): enc[k](params, jnp_img[None])
+            for name, img in styles.items()
+            for jnp_img in [np.asarray(img, np.float32)]
+            for k in self.ks
+        }
+        self._fn = jax.jit(
+            lambda p, c, stream: stylize_with_style_stream(p, c, stream, cfg))
+
+        self._queues = {key: queue.Queue() for key in self._streams}
+        for key in self._streams:
+            threading.Thread(target=self._loop, args=(key,),
+                             daemon=True).start()
+
+    def warmup(self):
+        z = np.zeros((self.size, self.size, 3), np.float32)
+        for name in self.names:
+            for k in self.ks:
+                self.stylize(z, name, k=k)
+
+    def _loop(self, key):
+        q = self._queues[key]
+        stream = self._streams[key]
+        while True:
+            c0, rq0 = q.get()
+            batch = [(c0, rq0)]
+            deadline = time.time() + self.window_s
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    batch.append(q.get(timeout=timeout))
+                except queue.Empty:
+                    break
+            contents = np.stack([b[0] for b in batch])
+            n = contents.shape[0]
+            if n < self.max_batch:
+                contents = np.concatenate(
+                    [contents,
+                     np.zeros((self.max_batch - n,) + contents.shape[1:],
+                              np.float32)])
+            try:
+                with self._lock:
+                    outs = self._fn(self.params, contents, stream)
+                outs = np.asarray(self._jax.device_get(outs))
+                for i, (_, rq) in enumerate(batch):
+                    rq.put(("ok", outs[i]))
+            except Exception as e:  # surface device errors to the caller
+                for _, rq in batch:
+                    rq.put(("error", str(e)))
+
+    def stylize(self, content: np.ndarray, name: str, *, k: int,
+                timeout: float = 60.0) -> np.ndarray:
+        if (name, k) not in self._streams:
+            raise KeyError(
+                f"locked style ({name!r}, k={k}) not served "
+                f"(styles: {self.names}, ks: {self.ks})")
+        rq: queue.Queue = queue.Queue()
+        self._queues[(name, k)].put((content, rq))
+        status, payload = rq.get(timeout=timeout)
+        if status != "ok":
+            raise RuntimeError(payload)
+        return payload
+
+
 class SweepService:
     """Style-lambda sweep over stacked parameter sets, one vmap per call
     (inference.py's lambda axis), with per-k jitted fns."""
@@ -192,7 +296,8 @@ def _parse_multipart(body: bytes, boundary: bytes) -> dict:
 
 
 def make_handler(services: dict, sweep_service: Optional["SweepService"],
-                 default_k: int):
+                 default_k: int,
+                 locked_service: Optional["LockedStyleService"] = None):
     """services: {k: StylizeService} — same-k requests micro-batch together."""
     from urllib.parse import parse_qs, urlparse
 
@@ -215,12 +320,14 @@ def make_handler(services: dict, sweep_service: Optional["SweepService"],
                         "max_batch": any_service.max_batch,
                         "ks": sorted(services),
                         "lambdas": (sweep_service.names
-                                    if sweep_service else [])}
+                                    if sweep_service else []),
+                        "locked_styles": (locked_service.names
+                                          if locked_service else [])}
                 self._reply(200, json.dumps(info).encode(), "application/json")
             else:
                 self._reply(404, b"not found", "text/plain")
 
-        def _read_pair(self):
+        def _read_parts(self):
             length = int(self.headers["Content-Length"])
             body = self.rfile.read(length)
             ctype = self.headers.get("Content-Type", "")
@@ -228,7 +335,12 @@ def make_handler(services: dict, sweep_service: Optional["SweepService"],
                 return None
             boundary = (ctype.split("boundary=")[1].split(";")[0]
                         .strip().strip('"').encode())
-            parts = _parse_multipart(body, boundary)
+            return _parse_multipart(body, boundary)
+
+        def _read_pair(self):
+            parts = self._read_parts()
+            if parts is None or "content" not in parts or "style" not in parts:
+                return None
             return (_decode_to(any_service.size, parts["content"]),
                     _decode_to(any_service.size, parts["style"]))
 
@@ -240,6 +352,26 @@ def make_handler(services: dict, sweep_service: Optional["SweepService"],
                     k = int(q.get("k", [default_k])[0])
                 except ValueError:
                     self._reply(400, b"k must be an integer", "text/plain")
+                    return
+                if url.path == "/stylize_locked":
+                    if locked_service is None:
+                        self._reply(400, b"no --locked_style styles loaded",
+                                    "text/plain")
+                        return
+                    parts = self._read_parts()
+                    if parts is None or "content" not in parts:
+                        self._reply(400, b"expected multipart/form-data with "
+                                    b"a 'content' part", "text/plain")
+                        return
+                    name = q.get("style", [locked_service.names[0]])[0]
+                    content = _decode_to(locked_service.size,
+                                         parts["content"])
+                    try:
+                        out = locked_service.stylize(content, name, k=k)
+                    except KeyError as e:
+                        self._reply(400, str(e).encode(), "text/plain")
+                        return
+                    self._reply(200, _encode_jpeg(out), "image/jpeg")
                     return
                 pair = self._read_pair()
                 if pair is None:
@@ -287,6 +419,12 @@ def main(argv=None):
                     metavar="NAME=PATH",
                     help="named lambda-tagged .npz param set for the /sweep "
                          "endpoint; repeatable (e.g. lambda2=l2.npz)")
+    ap.add_argument("--locked_style", action="append", default=[],
+                    metavar="NAME=IMAGE",
+                    help="named style image locked at startup for the "
+                         "/stylize_locked endpoint (style swin pass + k "
+                         "encoder triples precomputed once; requests send "
+                         "content only); repeatable")
     ap.add_argument("--port", type=int, default=8500)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--ks", default="1",
@@ -326,18 +464,35 @@ def main(argv=None):
                 raise SystemExit(f"--lambda_checkpoint wants NAME=PATH, got {spec!r}")
             param_sets[name] = ckpt_lib.load_params_npz(path, params)
         sweep_service = SweepService(param_sets, cfg, size=args.size, ks=ks)
+    locked_service = None
+    if args.locked_style:
+        styles = {}
+        for spec in args.locked_style:
+            name, _, path = spec.partition("=")
+            if not path:
+                raise SystemExit(f"--locked_style wants NAME=IMAGE, got {spec!r}")
+            with open(path, "rb") as f:
+                styles[name] = _decode_to(args.size, f.read())
+        locked_service = LockedStyleService(
+            params, cfg, styles, size=args.size, ks=ks,
+            max_batch=args.max_batch)
 
     print(f"warming up ({args.size}x{args.size}, ks={ks}"
-          f"{', sweep ' + str(sweep_service.names) if sweep_service else ''})...")
+          f"{', sweep ' + str(sweep_service.names) if sweep_service else ''}"
+          f"{', locked ' + str(locked_service.names) if locked_service else ''}"
+          f")...")
     for s in services.values():
         s.warmup()
     if sweep_service:
         sweep_service.warmup()
+    if locked_service:
+        locked_service.warmup()
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.port),
-        make_handler(services, sweep_service, default_k=ks[0]))
+        make_handler(services, sweep_service, default_k=ks[0],
+                     locked_service=locked_service))
     print(f"serving on :{args.port}  (POST /stylize[?k=N], POST /sweep[?k=N], "
-          f"GET /healthz)")
+          f"POST /stylize_locked[?style=NAME&k=N], GET /healthz)")
     server.serve_forever()
 
 

@@ -163,6 +163,37 @@ def test_style_transformer_windowed_config_branches():
     assert not _st_windowed_ok(cfg, True)
 
 
+def test_style_stream_matches_interleaved_apply():
+    """Precomputed style stream (content-independent encoder triples) +
+    stream decode == the interleaved apply, for the windowed fast path AND
+    the generic path, k=1 and k=3; a batch-1 stream broadcasts over a
+    larger content batch (style-locked serving)."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_transformer_apply_from_stream, style_transformer_stream,
+    )
+
+    fc = jax.random.normal(jax.random.PRNGKey(1), (2, 36, 36, 256)) * 0.5
+    fs = jax.random.normal(jax.random.PRNGKey(2), (2, 36, 36, 256)) * 0.5
+    for cfg in (StyleTransformerConfig(use_pallas=True),
+                StyleTransformerConfig(
+                    use_pallas=False,
+                    decoder_use_regular_MHA_instead_of_Swin_at_the_end=True)):
+        params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+        for k in (1, 3):
+            want = style_transformer_apply(params, fc, fs, cfg, k=k)
+            stream = style_transformer_stream(params, fs, cfg, k=k)
+            got = style_transformer_apply_from_stream(params, fc, stream, cfg)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=1e-5, atol=1e-5)
+        # batch-1 style stream broadcast over a content batch of 2
+        want1 = style_transformer_apply(
+            params, fc, jnp.tile(fs[:1], (2, 1, 1, 1)), cfg, k=1)
+        s1 = style_transformer_stream(params, fs[:1], cfg, k=1)
+        got1 = style_transformer_apply_from_stream(params, fc, s1, cfg)
+        np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_style_transformer_windowed_split_fallback_parity():
     """The f32 separate-kernel fallback (fuse_iteration=False — taken on
     hardware when the compute dtype is 4-byte, where the iteration-fusion

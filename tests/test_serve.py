@@ -11,7 +11,7 @@ import numpy as np
 from mastermetastyletransfer_tpu.config import ModelConfig
 from mastermetastyletransfer_tpu.models import init_master_model
 from mastermetastyletransfer_tpu.serve import (
-    StylizeService, SweepService, make_handler,
+    LockedStyleService, StylizeService, SweepService, make_handler,
 )
 
 
@@ -177,5 +177,69 @@ def test_http_k_routing_and_lambda_sweep():
         assert imgs["lambda2"].shape == (64, 64, 3)
         # different parameter sets -> different stylizations
         assert not np.array_equal(imgs["lambda2"], imgs["lambda4"])
+    finally:
+        server.shutdown()
+
+
+def test_locked_style_service_matches_pair_service():
+    """Style-locked serving (stream precomputed once per style) returns the
+    SAME stylization as the pair endpoint for the locked style, and the
+    /stylize_locked HTTP route works content-only."""
+    import json as jsonlib
+    from http.server import ThreadingHTTPServer
+    from PIL import Image
+
+    cfg = ModelConfig()
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    r = np.random.default_rng(0)
+    style_img = r.random((64, 64, 3)).astype(np.float32)
+    content = r.random((64, 64, 3)).astype(np.float32)
+
+    pair = StylizeService(params, cfg, size=64, k=1, max_batch=2,
+                          window_ms=5.0)
+    locked = LockedStyleService(params, cfg, {"s0": style_img}, size=64,
+                                ks=[1], max_batch=2, window_ms=5.0)
+    want = pair.stylize(content, style_img)
+    got = locked.stylize(content, "s0", k=1)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    # unknown style / k -> KeyError
+    import pytest
+    with pytest.raises(KeyError):
+        locked.stylize(content, "nope", k=1)
+
+    server = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        make_handler({1: pair}, None, default_k=1, locked_service=locked))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}/healthz") as rr:
+            assert jsonlib.loads(rr.read())["locked_styles"] == ["s0"]
+        boundary = b"XB2"
+        img = Image.fromarray((content * 255).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "PNG")
+        body = (b"--XB2\r\nContent-Disposition: form-data; name=\"content\"; "
+                b"filename=\"c.png\"\r\n\r\n" + buf.getvalue() +
+                b"\r\n--XB2--\r\n")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize_locked?style=s0&k=1",
+            data=body,
+            headers={"Content-Type":
+                     "multipart/form-data; boundary=XB2"})
+        with urllib.request.urlopen(req, timeout=300) as rr:
+            assert Image.open(io.BytesIO(rr.read())).size == (64, 64)
+        # unknown locked style -> 400
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/stylize_locked?style=zz&k=1",
+            data=body,
+            headers={"Content-Type":
+                     "multipart/form-data; boundary=XB2"})
+        try:
+            urllib.request.urlopen(req, timeout=300)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         server.shutdown()
