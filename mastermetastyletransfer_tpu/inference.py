@@ -114,3 +114,23 @@ def interpolate_params(params_a: dict, params_b: dict, alpha: float) -> dict:
     alpha may also be a traced scalar for on-device interpolation sweeps."""
     return jax.tree_util.tree_map(
         lambda a, b: (1.0 - alpha) * a + alpha * b, params_a, params_b)
+
+
+def blend_style_streams(streams: List, weights) -> object:
+    """Style interpolation: convex combination of precomputed style streams
+    (models.encode_style_stream), decoded with
+    models.stylize_with_style_stream.
+
+    The AdaIN paper's style-interpolation control (Huang & Belongie 2017
+    sec. 7.1) realized at the stream level: each (Key, Scale, Shift)
+    encoder triple is a per-style modulation program, and a weighted sum of
+    programs blends the stylizations. The reference exposes no
+    interpolation surface; the stream API makes it one tree-level lerp with
+    zero extra device passes. Weights are normalized to sum to 1;
+    weights=[1, 0, ...] reproduces stream 0 exactly."""
+    ws = jnp.asarray(weights, jnp.float32)
+    ws = ws / jnp.sum(ws)
+    return jax.tree_util.tree_map(
+        lambda *xs: sum(w * x.astype(jnp.float32)
+                        for w, x in zip(ws, xs)).astype(xs[0].dtype),
+        *streams)

@@ -230,3 +230,33 @@ def test_swin_variants_pallas_parity():
         got = swin_backbone_apply(params, x, cfg_p)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-2, atol=2e-2, err_msg=variant)
+
+
+def test_blend_style_streams():
+    """Style interpolation at the stream level: weights [1,0] reproduce
+    stream A exactly; a 50/50 blend is finite and differs from both ends."""
+    from mastermetastyletransfer_tpu.inference import blend_style_streams
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_transformer_apply_from_stream, style_transformer_stream,
+    )
+
+    cfg = StyleTransformerConfig(use_pallas=True)
+    params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+    fc = jax.random.normal(jax.random.PRNGKey(1), (1, 28, 28, 256)) * 0.5
+    fsa = jax.random.normal(jax.random.PRNGKey(2), (1, 28, 28, 256)) * 0.5
+    fsb = jax.random.normal(jax.random.PRNGKey(3), (1, 28, 28, 256)) * 0.5
+    sa = style_transformer_stream(params, fsa, cfg, k=1)
+    sb = style_transformer_stream(params, fsb, cfg, k=1)
+
+    out_a = style_transformer_apply_from_stream(params, fc, sa, cfg)
+    pure_a = style_transformer_apply_from_stream(
+        params, fc, blend_style_streams([sa, sb], [1.0, 0.0]), cfg)
+    np.testing.assert_allclose(np.asarray(pure_a), np.asarray(out_a),
+                               rtol=1e-6, atol=1e-6)
+
+    mix = style_transformer_apply_from_stream(
+        params, fc, blend_style_streams([sa, sb], [0.5, 0.5]), cfg)
+    out_b = style_transformer_apply_from_stream(params, fc, sb, cfg)
+    assert np.isfinite(np.asarray(mix)).all()
+    assert not np.allclose(np.asarray(mix), np.asarray(out_a), atol=1e-3)
+    assert not np.allclose(np.asarray(mix), np.asarray(out_b), atol=1e-3)
