@@ -51,6 +51,8 @@ def _build_cfg(args):
     if args.patch_embed:
         cfg = cfg.replace(swin=cfg.swin.replace(
             patch_embed_impl=args.patch_embed))
+    if getattr(args, "stencil", False):
+        cfg = cfg.replace(decoder=cfg.decoder.replace(use_stencil_conv=True))
     return cfg
 
 
@@ -256,6 +258,9 @@ def main():
     ap.add_argument("--phase_exit", type=int, default=None,
                     help="decoder conv index that leaves phase space "
                          "(A/B knob; default = config)")
+    ap.add_argument("--stencil", action="store_true",
+                    help="decoder phase convs via the input-resident "
+                         "stencil-GEMM kernel (DecoderConfig.use_stencil_conv)")
     ap.add_argument("--params_dtype", type=str, default=None,
                     help="cast the param store once at load (e.g. bfloat16 "
                          "to halve weight HBM traffic on the serving path)")

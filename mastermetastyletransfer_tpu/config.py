@@ -186,10 +186,13 @@ class DecoderConfig(_ConfigBase):
     # the last layers — A/B'd on the full bench (PERF.md round 3).
     phase_exit: int = 99
     # OPT-IN stencil-GEMM phase conv (ops/pallas_conv.stencil_phase_conv):
-    # conv+bias+ReLU+align in one kernel of MXU GEMMs. Measured 1-2% slower
-    # than the XLA conv+align on this chip (PERF.md round-3 A/B) — off by
-    # default, kept for future devices/shapes.
-    use_stencil_conv: bool = False
+    # conv+bias+ReLU+align in one kernel of MXU GEMMs. The r3 input-resident
+    # rewrite (one streamed view + 2-row tail instead of three full halo
+    # views) turned the first version's -1..-2% into +2% on style-locked
+    # serving (359 vs 349-353 imgs/s) and a wash on the pair headline
+    # (PERF.md A/B table) — on by default; gated to even tile heights and
+    # 128-lane inputs, exact either way.
+    use_stencil_conv: bool = True
 
 
 @dataclass(frozen=True)

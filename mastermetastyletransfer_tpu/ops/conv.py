@@ -167,11 +167,12 @@ def _align(big: jnp.ndarray, h: int, w: int, c_out: int,
 
 def _stencil_ok(cin: int, c_out: int, stencil: bool) -> bool:
     """Mosaic gates for the stencil-GEMM conv: full-lane input tiles and
-    32-granular output lane slices. OPT-IN (DecoderConfig.use_stencil_conv):
-    measured 1-2% SLOWER than the XLA conv+align path on the full bench
-    (230.5/229.9 vs 233.0/233.5 imgs/s, PERF.md round-3 A/B table) — the
-    three halo input views triple input HBM reads and XLA's 2x2 conv is
-    already MXU-efficient at these shapes. Kept for future devices/shapes."""
+    32-granular output lane slices. DEFAULT ON (DecoderConfig.
+    use_stencil_conv): the r3 input-resident rewrite (one streamed view +
+    2-row tail; the first version's three full halo views tripled input
+    HBM reads and measured -1..-2%) measures +2% on style-locked serving
+    and a wash on the pair headline (PERF.md A/B table). Odd tile heights
+    fall back to the exact XLA composition inside stencil_phase_conv."""
     return stencil and cin % 128 == 0 and c_out % 32 == 0
 
 

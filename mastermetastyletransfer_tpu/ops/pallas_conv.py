@@ -119,14 +119,19 @@ phase_align.defvjp(_phase_align_fwd, _phase_align_bwd)
 # column shifts are in-kernel sublane slices (register ops).
 # ---------------------------------------------------------------------------
 
-def _stencil_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
+def _stencil_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
                     c_out: int, relu: bool):
-    _, r, wp, cin = x0_ref.shape
+    """Input-RESIDENT stencil: the step's r rows arrive once (xm) plus a
+    2-row halo tail (xt, the next two padded rows of the same array), and
+    the 3 row-shifted views are in-VMEM slices of their concatenation —
+    input HBM traffic is (r+2)/r of optimal instead of the 3x that the
+    first (three-full-view) formulation paid (r3 A/B: -1..-2%)."""
+    _, r, wp, cin = xm_ref.shape
     w = wp - 2
     rows = r * w
-    dt = x0_ref.dtype
+    dt = xm_ref.dtype
     f32 = jnp.float32
-    views = (x0_ref, x1_ref, x2_ref)
+    comb = jnp.concatenate([xm_ref[0], xt_ref[0]], axis=0)  # (r+2, wp, cin)
     outs = []
     for a in range(2):
         for b in range(2):
@@ -134,8 +139,8 @@ def _stencil_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
             acc = None
             for dy in range(2):
                 for dx in range(2):
-                    v = views[a + dy][0, :, b + dx:b + dx + w, :].reshape(
-                        rows, cin)
+                    v = comb[a + dy:a + dy + r,
+                             b + dx:b + dx + w, :].reshape(rows, cin)
                     t = jnp.dot(v, w_ref[dy, dx][:, sl].astype(dt),
                                 preferred_element_type=f32)
                     acc = t if acc is None else acc + t
@@ -146,14 +151,15 @@ def _stencil_kernel(x0_ref, x1_ref, x2_ref, w_ref, b_ref, out_ref, *,
     out_ref[0] = y.reshape(r, w, 4 * c_out).astype(out_ref.dtype)
 
 
-def _pick_r(h: int, wp: int, cin: int, itemsize: int) -> int:
-    """Row tile: 3 double-buffered input views + out must fit VMEM;
-    budget r*wp*cin*itemsize <= ~0.75MB per view."""
-    cap = max(1, (3 << 18) // (wp * cin * itemsize))
-    for t in range(min(cap, h), 0, -1):
+def _pick_r(h: int, wp: int, cin: int, c4: int, itemsize: int) -> int:
+    """Row tile (EVEN, dividing h — the 2-row tail block index is
+    (j*r+r)/2): one streamed input view + the f32 accumulators + the output
+    block must fit scoped VMEM with double buffering."""
+    cap = max(2, (1 << 20) // (wp * (cin * itemsize + 4 * c4)))
+    for t in range(min(cap, h) - min(cap, h) % 2, 1, -2):
         if h % t == 0:
             return t
-    return 1
+    return 2 if h % 2 == 0 else 1
 
 
 def _stencil_xla_equiv(pp, pk, bias4, relu: bool, c_out: int):
@@ -188,9 +194,18 @@ def stencil_phase_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias4: jnp.ndarray,
     c4 = pk.shape[-1]
     c_out = c4 // 4
     assert cin % 128 == 0 and c_out % 32 == 0, (cin, c_out)
-    r = _pick_r(h, wp, cin, jnp.dtype(pp.dtype).itemsize)
-    views = [pp[:, s:s + h] for s in range(3)]
-    vspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+    r = _pick_r(h, wp, cin, c4, jnp.dtype(pp.dtype).itemsize)
+    if h % 2 or r % 2:
+        # the tail-block trick needs even tiles; odd heights fall back to
+        # the exact XLA composition
+        return _stencil_xla_equiv(pp, pk, bias4, relu, c_out)
+    # main stream: the step's r rows; tail stream: the NEXT 2 padded rows of
+    # the same array ((j*r+r)/2 in 2-row blocks) — together rows
+    # [j*r, j*r+r+2), the exact halo'd span, at ~(r+2)/r input traffic
+    mspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 2, wp, cin),
+                         lambda i, j, r=r: (i, (j * r + r) // 2, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec(pk.shape, lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -201,11 +216,11 @@ def stencil_phase_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias4: jnp.ndarray,
     return pl.pallas_call(
         functools.partial(_stencil_kernel, c_out=c_out, relu=relu),
         grid=(b, h // r),
-        in_specs=[vspec, vspec, vspec, wspec, bspec],
+        in_specs=[mspec, tspec, wspec, bspec],
         out_specs=ospec,
         out_shape=jax.ShapeDtypeStruct((b, h, w, c4), pp.dtype),
         interpret=interpret,
-    )(views[0], views[1], views[2], pk, bias4.reshape(1, c4))
+    )(pp, pp, pk, bias4.reshape(1, c4))
 
 
 def _stencil_fwd(pp, pk, bias4, relu, interpret):
