@@ -51,8 +51,9 @@ def _build_cfg(args):
     if args.patch_embed:
         cfg = cfg.replace(swin=cfg.swin.replace(
             patch_embed_impl=args.patch_embed))
-    if getattr(args, "stencil", False):
-        cfg = cfg.replace(decoder=cfg.decoder.replace(use_stencil_conv=True))
+    if getattr(args, "stencil", None) is not None:
+        cfg = cfg.replace(
+            decoder=cfg.decoder.replace(use_stencil_conv=args.stencil))
     return cfg
 
 
@@ -113,6 +114,9 @@ def bench_locked(args):
 
     cfg = _build_cfg(args)
     params = init_master_model(jax.random.PRNGKey(0), cfg)
+    if args.params_dtype:
+        from mastermetastyletransfer_tpu.models import cast_params
+        params = cast_params(params, args.params_dtype)
 
     b, s = args.batch, args.size
     content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
@@ -258,9 +262,11 @@ def main():
     ap.add_argument("--phase_exit", type=int, default=None,
                     help="decoder conv index that leaves phase space "
                          "(A/B knob; default = config)")
-    ap.add_argument("--stencil", action="store_true",
-                    help="decoder phase convs via the input-resident "
-                         "stencil-GEMM kernel (DecoderConfig.use_stencil_conv)")
+    ap.add_argument("--stencil", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="force the decoder stencil-GEMM kernel on/off "
+                         "(--stencil / --no-stencil); default follows "
+                         "DecoderConfig.use_stencil_conv (on)")
     ap.add_argument("--params_dtype", type=str, default=None,
                     help="cast the param store once at load (e.g. bfloat16 "
                          "to halve weight HBM traffic on the serving path)")

@@ -129,7 +129,13 @@ def blend_style_streams(streams: List, weights) -> object:
     zero extra device passes. Weights are normalized to sum to 1;
     weights=[1, 0, ...] reproduces stream 0 exactly."""
     ws = jnp.asarray(weights, jnp.float32)
-    ws = ws / jnp.sum(ws)
+    if ws.shape[0] != len(streams):
+        raise ValueError(f"{len(streams)} streams but {ws.shape[0]} weights"
+                         " — zip would silently drop the extras")
+    total = float(np.sum(np.asarray(jax.device_get(ws))))
+    if total == 0.0:
+        raise ValueError("weights sum to zero")
+    ws = ws / total
     return jax.tree_util.tree_map(
         lambda *xs: sum(w * x.astype(jnp.float32)
                         for w, x in zip(ws, xs)).astype(xs[0].dtype),

@@ -453,6 +453,49 @@ def _to4(x, b):
     return x.reshape(b, bn // b, n, c)
 
 
+@jax.tree_util.register_pytree_node_class
+class WindowedStyleStream:
+    """A precomputed windowed style stream: the k (Key, Scale, Shift)
+    triples in (B, nW, N, C) layout, carrying the feature-map (h, w) they
+    were partitioned at as STATIC metadata. Window shapes alone cannot
+    distinguish e.g. a 56x28 from a 28x56 grid (same nW, N, C) or 26x26
+    from 28x28 (same padded grid, different valid-token masks) — decoding
+    against a mismatched geometry would be silently wrong, so the consumer
+    checks (h, w), not just shapes (r3 review finding). Registered as a
+    pytree (children = triples, aux = (h, w)), so it passes through jit
+    and jax.tree_util transparently."""
+
+    def __init__(self, triples, hw):
+        self.triples = list(triples)
+        self.hw = tuple(hw)
+
+    def tree_flatten(self):
+        return tuple(self.triples), self.hw
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children, aux)
+
+    def __iter__(self):
+        return iter(self.triples)
+
+    def __len__(self):
+        return len(self.triples)
+
+    def __getitem__(self, i):
+        return self.triples[i]
+
+
+def _bcast_stream_batch(t, bc: int):
+    """One (batch-1) style stream serves a whole content batch
+    (style-locked serving); equal batches pass through."""
+    if t.shape[0] == bc:
+        return t
+    if t.shape[0] == 1:
+        return jnp.broadcast_to(t, (bc,) + t.shape[1:])
+    raise ValueError(f"stream batch {t.shape[0]} vs content batch {bc}")
+
+
 def _finalize_windowed(Fcs, geom, window_size):
     from mastermetastyletransfer_tpu.ops.attention import _finalize
 
@@ -657,7 +700,7 @@ def style_stream_windowed(params: dict, Fs: jnp.ndarray,
     for _ in range(int(k)):
         Key, Scale, Shift = encoder(Key, Scale, Shift)
         stream.append((Key, Scale, Shift))
-    return stream
+    return WindowedStyleStream(stream, (geom["h"], geom["w"]))
 
 
 def style_apply_windowed_from_stream(params: dict, Fc: jnp.ndarray, stream,
@@ -666,33 +709,30 @@ def style_apply_windowed_from_stream(params: dict, Fc: jnp.ndarray, stream,
                                      ) -> jnp.ndarray:
     """Run the decoder half of the windowed fast path against a precomputed
     style stream (style_stream_windowed). Fc must have the spatial size the
-    stream was built at."""
+    stream was built at — checked via the stream's static (h, w)."""
     from mastermetastyletransfer_tpu.ops.attention import _prepare
 
     acfg = cfg.encoder_attn()
     (fc_w,), geom = _prepare([Fc], acfg.window_size, acfg.shift_size)
     fc_w = _to4(fc_w, geom["b"])
-    if stream and stream[0][0].shape[1:] != fc_w.shape[1:]:
+    if isinstance(stream, WindowedStyleStream):
+        if stream.hw != (geom["h"], geom["w"]):
+            raise ValueError(
+                f"style stream was built at feature size {stream.hw}; "
+                f"content features are {(geom['h'], geom['w'])} — stream "
+                f"and content must share (H, W)")
+    elif stream and stream[0][0].shape[1:] != fc_w.shape[1:]:
         raise ValueError(
             f"style stream geometry {stream[0][0].shape[1:]} does not match "
-            f"content windows {fc_w.shape[1:]} — stream and content must "
-            f"share (H, W)")
+            f"content windows {fc_w.shape[1:]}")
     _, decoder = _windowed_machinery(params, cfg, geom, fc_w.dtype,
                                      fuse_iteration)
-
     bc = fc_w.shape[0]
-
-    def bcast(t):
-        """One style serves a whole content batch (style-locked serving)."""
-        if t.shape[0] == bc:
-            return t
-        if t.shape[0] == 1:
-            return jnp.broadcast_to(t, (bc,) + t.shape[1:])
-        raise ValueError(f"stream batch {t.shape[0]} vs content batch {bc}")
-
     Fcs = fc_w
     for Key, Scale, Shift in stream:
-        Fcs = decoder(Fcs, bcast(Key), bcast(Scale), bcast(Shift))
+        Fcs = decoder(Fcs, _bcast_stream_batch(Key, bc),
+                      _bcast_stream_batch(Scale, bc),
+                      _bcast_stream_batch(Shift, bc))
     return _finalize_windowed(Fcs, geom, acfg.window_size)
 
 
@@ -800,17 +840,14 @@ def style_transformer_apply_from_stream(params: dict, Fc: jnp.ndarray,
     if _st_windowed_ok(cfg, True):
         return style_apply_windowed_from_stream(params, Fc, stream, cfg)
 
+    if len(stream) and stream[0][0].shape[1:3] != Fc.shape[1:3]:
+        raise ValueError(
+            f"style stream feature size {stream[0][0].shape[1:3]} does not "
+            f"match content features {Fc.shape[1:3]}")
     bc = Fc.shape[0]
-
-    def bcast(t):
-        if t.shape[0] == bc:
-            return t
-        if t.shape[0] == 1:
-            return jnp.broadcast_to(t, (bc,) + t.shape[1:])
-        raise ValueError(f"stream batch {t.shape[0]} vs content batch {bc}")
-
     for Key, Scale, Shift in stream:
         Fc = style_decoder_apply(
-            params["decoder"], Fc, bcast(Key), bcast(Scale), bcast(Shift),
+            params["decoder"], Fc, _bcast_stream_batch(Key, bc),
+            _bcast_stream_batch(Scale, bc), _bcast_stream_batch(Shift, bc),
             cfg, deterministic=True, rng=None)
     return Fc

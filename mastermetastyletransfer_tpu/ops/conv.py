@@ -165,15 +165,19 @@ def _align(big: jnp.ndarray, h: int, w: int, c_out: int,
     return jnp.concatenate(subs, axis=-1)
 
 
-def _stencil_ok(cin: int, c_out: int, stencil: bool) -> bool:
+def _stencil_ok(cin: int, c_out: int, stencil: bool,
+                use_pallas: bool) -> bool:
     """Mosaic gates for the stencil-GEMM conv: full-lane input tiles and
     32-granular output lane slices. DEFAULT ON (DecoderConfig.
     use_stencil_conv): the r3 input-resident rewrite (one streamed view +
     2-row tail; the first version's three full halo views tripled input
     HBM reads and measured -1..-2%) measures +2% on style-locked serving
     and a wash on the pair headline (PERF.md A/B table). Odd tile heights
-    fall back to the exact XLA composition inside stencil_phase_conv."""
-    return stencil and cin % 128 == 0 and c_out % 32 == 0
+    fall back to the exact XLA composition inside stencil_phase_conv.
+    Gated on use_pallas too: --no-pallas must stay a true XLA-only
+    kill-switch/baseline (r3 review finding)."""
+    return (stencil and use_pallas
+            and cin % 128 == 0 and c_out % 32 == 0)
 
 
 def _stencil_call(pp, pk, bias, relu):
@@ -202,7 +206,7 @@ def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
     c_out = wk.shape[-1]
     pk = _phase_space_kernel(wk.astype(jnp.float32)).astype(p.dtype)
     pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    if _stencil_ok(c4, c_out, stencil):
+    if _stencil_ok(c4, c_out, stencil, use_pallas):
         out = _stencil_call(pp, pk, params["bias"], relu)
         return phase_interleave(out) if interleave else out
     big = lax.conv_general_dilated(
@@ -234,7 +238,7 @@ def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
     c_out = wk.shape[-1]
     pk = _phase_kernel(wk.astype(jnp.float32)).astype(x.dtype)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
-    if _stencil_ok(c, c_out, stencil):
+    if _stencil_ok(c, c_out, stencil, use_pallas):
         out = _stencil_call(xp, pk, params["bias"], relu)
         return out if keep_phase else phase_interleave(out)
     big = lax.conv_general_dilated(

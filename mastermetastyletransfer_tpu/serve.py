@@ -50,6 +50,22 @@ from mastermetastyletransfer_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
+def _drain_batch(q: "queue.Queue", first, max_batch: int, window_s: float):
+    """Coalesce requests arriving within the micro-batch window (shared by
+    StylizeService and LockedStyleService)."""
+    batch = [first]
+    deadline = time.time() + window_s
+    while len(batch) < max_batch:
+        timeout = deadline - time.time()
+        if timeout <= 0:
+            break
+        try:
+            batch.append(q.get(timeout=timeout))
+        except queue.Empty:
+            break
+    return batch
+
+
 class StylizeService:
     """Micro-batching wrapper over the jitted stylize fn."""
 
@@ -85,17 +101,8 @@ class StylizeService:
 
     def _loop(self):
         while True:
-            c0, s0, q0 = self._q.get()
-            batch = [(c0, s0, q0)]
-            deadline = time.time() + self.window_s
-            while len(batch) < self.max_batch:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(self._q.get(timeout=timeout))
-                except queue.Empty:
-                    break
+            batch = _drain_batch(self._q, self._q.get(), self.max_batch,
+                                 self.window_s)
             contents = np.concatenate([b[0] for b in batch])
             styles = np.concatenate([b[1] for b in batch])
             # pad to max_batch so one shape compiles
@@ -180,17 +187,7 @@ class LockedStyleService:
         q = self._queues[key]
         stream = self._streams[key]
         while True:
-            c0, rq0 = q.get()
-            batch = [(c0, rq0)]
-            deadline = time.time() + self.window_s
-            while len(batch) < self.max_batch:
-                timeout = deadline - time.time()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(q.get(timeout=timeout))
-                except queue.Empty:
-                    break
+            batch = _drain_batch(q, q.get(), self.max_batch, self.window_s)
             contents = np.stack([b[0] for b in batch])
             n = contents.shape[0]
             if n < self.max_batch:

@@ -260,3 +260,29 @@ def test_blend_style_streams():
     assert np.isfinite(np.asarray(mix)).all()
     assert not np.allclose(np.asarray(mix), np.asarray(out_a), atol=1e-3)
     assert not np.allclose(np.asarray(mix), np.asarray(out_b), atol=1e-3)
+
+
+def test_style_stream_guards():
+    """Geometry and weight-validation guards: decoding against a stream
+    built at a different feature size raises; blend validates weights."""
+    import pytest
+
+    from mastermetastyletransfer_tpu.inference import blend_style_streams
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        style_transformer_apply_from_stream, style_transformer_stream,
+    )
+
+    cfg = StyleTransformerConfig(use_pallas=True)
+    params = init_style_transformer(jax.random.PRNGKey(0), cfg)
+    fs = jax.random.normal(jax.random.PRNGKey(2), (1, 28, 28, 256)) * 0.5
+    stream = style_transformer_stream(params, fs, cfg, k=1)
+
+    # same padded window grid (28x28 both pad to 28), different valid size
+    fc_26 = jax.random.normal(jax.random.PRNGKey(1), (1, 26, 26, 256)) * 0.5
+    with pytest.raises(ValueError, match="share \\(H, W\\)"):
+        style_transformer_apply_from_stream(params, fc_26, stream, cfg)
+
+    with pytest.raises(ValueError, match="weights"):
+        blend_style_streams([stream, stream], [1.0])
+    with pytest.raises(ValueError, match="zero"):
+        blend_style_streams([stream, stream], [0.0, 0.0])
