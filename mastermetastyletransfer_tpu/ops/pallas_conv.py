@@ -187,8 +187,9 @@ def stencil_phase_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias4: jnp.ndarray,
     bias4: (4*C',) phase-tiled bias. Returns the ALIGNED phase tensor
     (B, H, W, 4*C'). Requires Cin % 128 == 0 and C' % 32 == 0.
 
-    Backward recomputes through the XLA-equivalent composition (exact same
-    function), so training pays XLA-conv rates only on the grad pass."""
+    Backward is recompute-FREE (r3): align-transpose scatter + conv
+    linear-transposes from the saved output's ReLU mask — see
+    _stencil_bwd."""
     b, hp, wp, cin = pp.shape
     h, w = hp - 2, wp - 2
     c4 = pk.shape[-1]
@@ -224,16 +225,43 @@ def stencil_phase_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias4: jnp.ndarray,
 
 
 def _stencil_fwd(pp, pk, bias4, relu, interpret):
-    return stencil_phase_conv(pp, pk, bias4, relu, interpret), (pp, pk, bias4)
+    y = stencil_phase_conv(pp, pk, bias4, relu, interpret)
+    return y, (pp, pk, bias4, y)
 
 
 def _stencil_bwd(relu, interpret, res, g):
-    pp, pk, bias4 = res
-    c_out = pk.shape[-1] // 4
-    _, vjp = jax.vjp(
-        lambda a, b, c: _stencil_xla_equiv(a, b, c, relu, c_out),
-        pp, pk, bias4)
-    return vjp(g)
+    """Backward WITHOUT recomputing the forward (r3): conv+bias is linear,
+    the align is a selection, and the ReLU mask is recoverable from the
+    saved output (y > 0 — positions the align dropped carry zero cotangent,
+    so their mask is irrelevant). g scatters through the align transpose
+    into the pre-align grid, then d_pp/d_pk are pure conv transposes
+    (jax.linear_transpose) and d_bias a reduction — the earlier version
+    re-ran the entire XLA forward composition inside jax.vjp just to
+    linearize, doubling the conv's forward cost in every training step."""
+    pp, pk, bias4, y = res
+    c4 = pk.shape[-1]
+    c_out = c4 // 4
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    if relu:
+        g = g * (y > 0).astype(g.dtype)
+    # transpose of the align selection: scatter each phase's cotangent to
+    # its shifted window of the (H+1, W+1) pre-align grid
+    d_big = jnp.zeros((b, h + 1, w + 1, c4), g.dtype)
+    for a in range(2):
+        for bb in range(2):
+            sl = slice((2 * a + bb) * c_out, (2 * a + bb + 1) * c_out)
+            d_big = d_big.at[:, a:a + h, bb:bb + w, sl].set(g[..., sl])
+    conv_pp = lambda t: jax.lax.conv_general_dilated(
+        t, pk.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    conv_pk = lambda t: jax.lax.conv_general_dilated(
+        pp, t.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    (d_pp,) = jax.linear_transpose(conv_pp, pp)(d_big.astype(pp.dtype))
+    (d_pk,) = jax.linear_transpose(conv_pk, pk)(d_big.astype(pp.dtype))
+    d_bias = d_big.astype(jnp.float32).sum((0, 1, 2)).astype(bias4.dtype)
+    return d_pp, d_pk.astype(pk.dtype), d_bias
 
 
 stencil_phase_conv.defvjp(_stencil_fwd, _stencil_bwd)

@@ -307,7 +307,8 @@ def test_cnn_decoder_pallas_phase_align_grads(rng):
 def test_stencil_phase_conv_exact_and_grad():
     """Stencil-GEMM phase conv (conv+bias+ReLU+align in one kernel,
     ops/pallas_conv.py) vs the XLA conv+align chain: forward exact, and the
-    custom-VJP backward (XLA-equivalent recompute) matches to roundoff."""
+    custom-VJP backward (align-transpose + conv linear-transposes, NO
+    forward recompute) matches to roundoff."""
     import jax
     import jax.numpy as jnp
 
@@ -319,7 +320,11 @@ def test_stencil_phase_conv_exact_and_grad():
     p = init_cnn_decoder(jax.random.PRNGKey(0), DecoderConfig())
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 256)) * 0.5
     ref = cnn_decoder_apply(p, x, DecoderConfig(fuse_upsample=False))
+    # use_pallas=True is REQUIRED to reach the stencil kernel since the r3
+    # --no-pallas kill-switch gate (without it this test silently compared
+    # XLA against XLA)
     out = cnn_decoder_apply(p, x, DecoderConfig(fuse_upsample=True,
+                                                use_pallas=True,
                                                 use_stencil_conv=True))
     assert float(jnp.abs(out - ref).max()) < 1e-4
 
@@ -327,8 +332,10 @@ def test_stencil_phase_conv_exact_and_grad():
         return jnp.sum(jnp.square(cnn_decoder_apply(params, x, cfg)))
 
     g_ref = jax.grad(loss)(p, DecoderConfig(fuse_upsample=True,
-                                            use_pallas=False))
+                                            use_pallas=False,
+                                            use_stencil_conv=False))
     g_pal = jax.grad(loss)(p, DecoderConfig(fuse_upsample=True,
+                                            use_pallas=True,
                                             use_stencil_conv=True))
     for a, b in zip(jax.tree_util.tree_leaves(g_ref),
                     jax.tree_util.tree_leaves(g_pal)):
