@@ -163,7 +163,7 @@ def _pick_r(h: int, wp: int, cin: int, c4: int, itemsize: int) -> int:
 
 
 def _stencil_xla_equiv(pp, pk, bias4, relu: bool, c_out: int):
-    """XLA composition computing the same function (used for the backward)."""
+    """XLA composition computing the same function (odd-height fallback)."""
     b, hp, wp, _ = pp.shape
     h, w = hp - 2, wp - 2
     big = jax.lax.conv_general_dilated(
