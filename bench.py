@@ -67,14 +67,33 @@ def bench_infer(args):
         from mastermetastyletransfer_tpu.models import cast_params
         params = cast_params(params, args.params_dtype)
 
-    @jax.jit
-    def stylize(params, content, style):
-        return master_apply(params, content, style, cfg, k=args.k,
-                            deterministic=True)
+    b, s, g = args.batch, args.size, args.chunks
+    if g > 1:
+        # Chunked dispatch: scan G batch-sized chunks inside ONE jit call so
+        # the ~1.7 ms tunnel dispatch overhead (PERF.md device model; it does
+        # NOT amortize across separate calls) is paid once per G batches.
+        # The kernel working set stays at the measured-optimal batch size.
+        content = jax.random.uniform(
+            jax.random.PRNGKey(1), (g, b, s, s, 3), jnp.float32)
+        style = jax.random.uniform(
+            jax.random.PRNGKey(2), (g, b, s, s, 3), jnp.float32)
 
-    b, s = args.batch, args.size
-    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
-    style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3), jnp.float32)
+        @jax.jit
+        def stylize(params, content, style):
+            def body(_, cs):
+                return None, master_apply(params, cs[0], cs[1], cfg,
+                                          k=args.k, deterministic=True)
+            return jax.lax.scan(body, None, (content, style))[1]
+    else:
+        content = jax.random.uniform(
+            jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
+        style = jax.random.uniform(
+            jax.random.PRNGKey(2), (b, s, s, 3), jnp.float32)
+
+        @jax.jit
+        def stylize(params, content, style):
+            return master_apply(params, content, style, cfg, k=args.k,
+                                deterministic=True)
 
     for _ in range(args.warmup):
         _sync(stylize(params, content, style))
@@ -91,7 +110,7 @@ def bench_infer(args):
         _sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    imgs_per_sec = args.iters * b / best_dt
+    imgs_per_sec = args.iters * g * b / best_dt
     baseline = 500.0  # north-star target imgs/sec/chip @512^2 (BASELINE.json)
     print(json.dumps({
         "metric": f"{s}x{s} stylized imgs/sec/chip (k={args.k}, {args.dtype})",
@@ -118,16 +137,29 @@ def bench_locked(args):
         from mastermetastyletransfer_tpu.models import cast_params
         params = cast_params(params, args.params_dtype)
 
-    b, s = args.batch, args.size
-    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
+    b, s, g = args.batch, args.size, args.chunks
     style = jax.random.uniform(jax.random.PRNGKey(2), (1, s, s, 3), jnp.float32)
 
     stream = jax.jit(
         lambda p, st: encode_style_stream(p, st, cfg, k=args.k))(params, style)
 
-    @jax.jit
-    def stylize(params, content, stream):
-        return stylize_with_style_stream(params, content, stream, cfg)
+    if g > 1:
+        # One dispatch per G content batches (see bench_infer).
+        content = jax.random.uniform(
+            jax.random.PRNGKey(1), (g, b, s, s, 3), jnp.float32)
+
+        @jax.jit
+        def stylize(params, content, stream):
+            def body(_, c):
+                return None, stylize_with_style_stream(params, c, stream, cfg)
+            return jax.lax.scan(body, None, content)[1]
+    else:
+        content = jax.random.uniform(
+            jax.random.PRNGKey(1), (b, s, s, 3), jnp.float32)
+
+        @jax.jit
+        def stylize(params, content, stream):
+            return stylize_with_style_stream(params, content, stream, cfg)
 
     for _ in range(args.warmup):
         _sync(stylize(params, content, stream))
@@ -141,7 +173,7 @@ def bench_locked(args):
         _sync(out)
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    imgs_per_sec = args.iters * b / best_dt
+    imgs_per_sec = args.iters * g * b / best_dt
     baseline = 500.0
     print(json.dumps({
         "metric": (f"{s}x{s} style-locked stylized imgs/sec/chip "
@@ -252,6 +284,10 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--k", type=int, default=1)
+    ap.add_argument("--chunks", type=int, default=1,
+                    help="batch chunks scanned inside ONE jit call "
+                         "(infer/locked modes): amortizes the ~1.7 ms "
+                         "per-call tunnel dispatch across chunks")
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3,
                     help="untimed warmup iterations; 0 = measure cold start "

@@ -39,6 +39,28 @@ def test_convert_cli_style_transformer(tmp_path, rng):
     assert len(np.load(out).files) > 20
 
 
+def test_bench_cli_chunked_smoke(capsys, monkeypatch):
+    """bench.py --chunks scans G batch-chunks inside one jit call (dispatch
+    amortization, PERF.md); smoke the CLI path end-to-end on CPU and check
+    the one-JSON-line contract counts all G*b images."""
+    import json
+    import sys
+
+    sys.modules.pop("bench", None)
+    import bench
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench.py", "--size", "64", "--batch", "1", "--chunks", "2",
+         "--iters", "1", "--warmup", "0", "--dtype", "float32",
+         "--no-pallas"])
+    bench.main()
+    line = [l for l in capsys.readouterr().out.splitlines() if l.strip()][-1]
+    rec = json.loads(line)
+    assert rec["unit"] == "imgs/sec" and rec["value"] > 0
+    assert "64x64" in rec["metric"]
+
+
 def test_loss_calibration_sweep(rng):
     from mastermetastyletransfer_tpu.losses.calibrate import run_sweep
     from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
