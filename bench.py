@@ -54,6 +54,11 @@ def _build_cfg(args):
     if getattr(args, "stencil", None) is not None:
         cfg = cfg.replace(
             decoder=cfg.decoder.replace(use_stencil_conv=args.stencil))
+    if args.matmul_mode != "native":
+        cfg = cfg.replace(
+            swin=cfg.swin.replace(matmul_mode=args.matmul_mode),
+            transformer=cfg.transformer.replace(matmul_mode=args.matmul_mode),
+            decoder=cfg.decoder.replace(matmul_mode=args.matmul_mode))
     return cfg
 
 
@@ -293,6 +298,12 @@ def main():
                     help="untimed warmup iterations; 0 = measure cold start "
                          "(first timed round includes compilation)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--matmul_mode", choices=["native", "split3"],
+                    default="native",
+                    help="in-kernel matmul mode (ops/precision.py). 'split3' "
+                         "+ --dtype float32 is the accuracy-compliant fast "
+                         "path: 3-pass hi/lo bf16 split in the Pallas "
+                         "kernels, ambient 'high' for the XLA parts")
     ap.add_argument("--patch_embed", choices=["s2d", "conv"], default=None,
                     help="patch-embed implementation (A/B knob)")
     ap.add_argument("--phase_exit", type=int, default=None,
@@ -310,6 +321,11 @@ def main():
                     help="use the fused Pallas kernels (default)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
+    if args.matmul_mode == "split3":
+        # the XLA parts (decoder convs, patch embed) of the compliant
+        # point run the 3-pass 'high' decomposition; kdot shields the
+        # Mosaic kernels from it (ops/precision.py)
+        jax.config.update("jax_default_matmul_precision", "high")
 
     {"infer": bench_infer, "latency": bench_latency,
      "train": bench_train, "locked": bench_locked}[args.mode](args)

@@ -104,6 +104,11 @@ class StyleTransformerConfig(_ConfigBase):
     decoder_use_Key_instance_norm_after_linear_transformation: bool = True
     decoder_exclude_MLP_after_Fcs_self_MHA: bool = False
     use_pallas: bool = False
+    # In-kernel matmul mode for the Pallas paths (ops/precision.py):
+    # "native" (ambient precision) or "split3" (3-pass bf16 hi/lo split of
+    # f32 operands — XLA-'high'-class accuracy at half the HIGHEST passes;
+    # Mosaic cannot lower precision=HIGH directly).
+    matmul_mode: str = "native"
     # Traced-k (random layer count) implementation: "scan" (masked carry,
     # 1/4 the reverse-mode graph, compiles everywhere) or "switch" (runs
     # only the sampled depth, but its grad graph crashes this platform's
@@ -146,6 +151,12 @@ class SwinConfig(_ConfigBase):
     # p_i = p_max * i / (24 - 1).
     stochastic_depth_probs: Tuple[float, ...] = (0.0, 0.5 / 23, 1.0 / 23, 1.5 / 23)
     use_pallas: bool = False
+    # In-kernel matmul mode for the Pallas paths (ops/precision.py):
+    # "native" (ambient precision) or "split3" (3-pass bf16 hi/lo split of
+    # f32 operands — XLA-'high'-class accuracy at half the HIGHEST passes;
+    # Mosaic cannot lower precision=HIGH directly).
+    matmul_mode: str = "native"
+
     # "s2d": space-to-depth reshape + GEMM (exact; pays a relayout);
     # "conv": direct stride-4 conv_general_dilated. A/B knob — same math.
     patch_embed_impl: str = "s2d"
@@ -180,6 +191,12 @@ class DecoderConfig(_ConfigBase):
     # 4-slice+concat XLA chain costs ~3ms at 256^2; the kernel is one
     # bandwidth-bound op). Exact — same values, different schedule.
     use_pallas: bool = False
+    # In-kernel matmul mode for the Pallas paths (ops/precision.py):
+    # "native" (ambient precision) or "split3" (3-pass bf16 hi/lo split of
+    # f32 operands — XLA-'high'-class accuracy at half the HIGHEST passes;
+    # Mosaic cannot lower precision=HIGH directly).
+    matmul_mode: str = "native"
+
     # First conv index that runs on the plain fine grid instead of phase
     # space (exact either way). The phase path wins while channel counts are
     # narrow, but its align+interleave tail can lose to a plain XLA conv at

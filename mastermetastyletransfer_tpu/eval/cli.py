@@ -39,6 +39,11 @@ def main(argv=None):
     ap.add_argument("--swin_variant", default="swin_B")
     ap.add_argument("--compute_dtype", default="float32")
     ap.add_argument("--use_pallas", action="store_true")
+    ap.add_argument("--matmul_mode", choices=["native", "split3"],
+                    default="native",
+                    help="in-kernel matmul mode (ops/precision.py); 'split3' "
+                         "+ float32 + --use_pallas = the accuracy-compliant "
+                         "fast path")
     args = ap.parse_args(argv)
 
     import jax
@@ -62,6 +67,14 @@ def main(argv=None):
         model_cfg = model_cfg.replace(
             transformer=model_cfg.transformer.replace(use_pallas=True),
             decoder=model_cfg.decoder.replace(use_pallas=True))
+    if args.matmul_mode != "native":
+        import jax
+        jax.config.update("jax_default_matmul_precision", "high")
+        model_cfg = model_cfg.replace(
+            swin=model_cfg.swin.replace(matmul_mode=args.matmul_mode),
+            transformer=model_cfg.transformer.replace(
+                matmul_mode=args.matmul_mode),
+            decoder=model_cfg.decoder.replace(matmul_mode=args.matmul_mode))
     cfg = ExperimentConfig(
         model=model_cfg,
         loss=LossConfig(default_lambda_value=args.lambda_style),

@@ -16,6 +16,7 @@ from mastermetastyletransfer_tpu.ops.conv import (
     init_conv, phase_conv3x3, phase_interleave, reflect_conv,
     upsample_conv_fused, upsample_nearest,
 )
+from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
 
 
 def _channel_plan(c: int):
@@ -40,6 +41,7 @@ def init_cnn_decoder(key, cfg: DecoderConfig) -> dict:
             for i, (k, (ci, co, _)) in enumerate(zip(keys, plan))}
 
 
+@applies_matmul_mode
 def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
     """NHWC features (B, H/8, W/8, C) -> RGB (B, H, W, 3). The final conv has
     no activation (reference: codes/decoder.py:54).

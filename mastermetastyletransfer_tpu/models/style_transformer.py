@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from mastermetastyletransfer_tpu.config import AttentionConfig, StyleTransformerConfig
+from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
 from mastermetastyletransfer_tpu.ops.attention import (
     init_dual_value_window_attention,
     init_window_attention,
@@ -402,6 +403,7 @@ def _masked_instance_norm(x4, vm, count: float, eps: float = 1e-5,
     return y.astype(x4.dtype)
 
 
+@applies_matmul_mode
 def style_transformer_apply_windowed(params: dict, Fc: jnp.ndarray,
                                      Fs: jnp.ndarray,
                                      cfg: StyleTransformerConfig, *,
@@ -736,6 +738,7 @@ def style_apply_windowed_from_stream(params: dict, Fc: jnp.ndarray, stream,
     return _finalize_windowed(Fcs, geom, acfg.window_size)
 
 
+@applies_matmul_mode
 def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
                             cfg: StyleTransformerConfig, *, k: int = 1,
                             max_k: Optional[int] = None,
@@ -810,6 +813,7 @@ def style_transformer_apply(params: dict, Fc: jnp.ndarray, Fs: jnp.ndarray,
                           (Fc, Fs, Scale, Shift))
 
 
+@applies_matmul_mode
 def style_transformer_stream(params: dict, Fs: jnp.ndarray,
                              cfg: StyleTransformerConfig, *, k: int):
     """Content-independent half of the style transformer: the k encoder
@@ -830,6 +834,7 @@ def style_transformer_stream(params: dict, Fs: jnp.ndarray,
     return stream
 
 
+@applies_matmul_mode
 def style_transformer_apply_from_stream(params: dict, Fc: jnp.ndarray,
                                         stream,
                                         cfg: StyleTransformerConfig

@@ -24,6 +24,7 @@ from mastermetastyletransfer_tpu.config import AttentionConfig, SwinConfig
 from mastermetastyletransfer_tpu.models.style_transformer import (
     init_style_swin_block, style_swin_block_apply,
 )
+from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
 
 from mastermetastyletransfer_tpu.ops.norm import layer_norm
 
@@ -88,6 +89,7 @@ def patch_merging(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     return x @ params["reduction"]["kernel"].astype(x.dtype)
 
 
+@applies_matmul_mode
 def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
                         deterministic: bool = True,
                         rng: Optional[jax.Array] = None) -> jnp.ndarray:

@@ -15,3 +15,6 @@ from mastermetastyletransfer_tpu.ops.attention import (
     init_dual_value_window_attention,
     shifted_window_attention_dual_value,
 )
+from mastermetastyletransfer_tpu.ops.precision import (
+    applies_matmul_mode, kdot, matmul_mode,
+)

@@ -50,6 +50,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mastermetastyletransfer_tpu.ops.precision import kdot
+
 _NEG = -1e9
 
 
@@ -178,16 +180,14 @@ def _attend_heads(q, k, vs, wp, bias, mask, heads: int, scale: float,
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         comb = bias[h].astype(f32) + mask              # (TWN, TWN)
-        s = jax.lax.dot_general(qs[..., sl], ks[..., sl], bdims,
-                                preferred_element_type=f32)
+        s = kdot(qs[..., sl], ks[..., sl], bdims)
         s = s + comb                                   # broadcasts over BSUB
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         ec = e.astype(compute_dtype)
         for v_i, v in enumerate(vs):
-            o = jax.lax.dot_general(ec, v[..., sl], pvdims,
-                                    preferred_element_type=f32)
+            o = kdot(ec, v[..., sl], pvdims)
             o_heads[v_i][h] = (o * recip).astype(compute_dtype)
     wp_c = wp.astype(compute_dtype)
     accs = []
@@ -195,7 +195,7 @@ def _attend_heads(q, k, vs, wp, bias, mask, heads: int, scale: float,
         allo = jnp.concatenate(o_heads[v_i], axis=-1)  # lanes: heads -> C
         if bsub > 1:
             allo = allo.reshape(rows, c)
-        accs.append(jnp.dot(allo, wp_c, preferred_element_type=f32))
+        accs.append(kdot(allo, wp_c))
     return accs
 
 
@@ -219,8 +219,7 @@ def _kernel(q_ref, k_ref, v_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
     # NOTE: weights are stored f32; cast to the compute dtype at load or the
     # mixed-dtype dot silently promotes to an f32 matmul (~1/8 MXU peak).
     def proj(x_ref, w_ref, b_ref):
-        return jnp.dot(_flat(x_ref), w_ref[:].astype(dt),
-                       preferred_element_type=f32) + b_ref[0].astype(f32)
+        return kdot(_flat(x_ref), w_ref[:].astype(dt)) + b_ref[0].astype(f32)
 
     q = proj(q_ref, wq_ref, bq_ref)
     k = proj(k_ref, wk_ref, bk_ref)
@@ -243,8 +242,7 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
     dt = vs_ref.dtype
 
     def proj(x_ref, w_ref, b_ref):
-        return jnp.dot(_flat(x_ref), w_ref[:].astype(dt),
-                       preferred_element_type=f32) + b_ref[0].astype(f32)
+        return kdot(_flat(x_ref), w_ref[:].astype(dt)) + b_ref[0].astype(f32)
 
     q = _flat(q_ref).astype(f32)
     k = _flat(k_ref).astype(f32)
@@ -423,8 +421,7 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         if bsub > 1:
             pm = jnp.concatenate([pm] * bsub, axis=0)
         ln = ln * pm
-    qkv = jnp.dot(ln, wqkv_ref[:].astype(dt),
-                  preferred_element_type=f32) + bqkv_ref[0].astype(f32)
+    qkv = kdot(ln, wqkv_ref[:].astype(dt)) + bqkv_ref[0].astype(f32)
     qkv = qkv.astype(dt)
     q3 = (qkv[:, :c] * scale).reshape(nb, n, c)
     k3 = qkv[:, c:2 * c].reshape(nb, n, c)
@@ -437,19 +434,17 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
         comb = mt + bias_ref[h].astype(f32)        # broadcast (N,N) over NB
-        s = jax.lax.dot_general(q3[..., sl], k3[..., sl],
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=f32)
+        s = kdot(q3[..., sl], k3[..., sl],
+                 (((2,), (2,)), ((0,), (0,))))
         s = s + comb
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
-        o = jax.lax.dot_general(e.astype(dt), v3[..., sl],
-                                (((2,), (1,)), ((0,), (0,))),
-                                preferred_element_type=f32)
+        o = kdot(e.astype(dt), v3[..., sl],
+                 (((2,), (1,)), ((0,), (0,))))
         o_heads.append((o * recip).astype(dt))
     allo = jnp.concatenate(o_heads, axis=-1).reshape(rows, c)
-    acc = jnp.dot(allo, wp_ref[:].astype(dt), preferred_element_type=f32)
+    acc = kdot(allo, wp_ref[:].astype(dt))
     y = x_raw.astype(f32) + acc + bp_ref[0].astype(f32)
 
     h2 = y
@@ -458,11 +453,9 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
         var = jnp.mean(jnp.square(h2 - mean), axis=-1, keepdims=True)
         h2 = (h2 - mean) * jax.lax.rsqrt(var + eps)
         h2 = h2 * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
-    h2 = jnp.dot(h2.astype(dt), f1w_ref[:].astype(dt),
-                 preferred_element_type=f32) + f1b_ref[0].astype(f32)
+    h2 = kdot(h2.astype(dt), f1w_ref[:].astype(dt)) + f1b_ref[0].astype(f32)
     h2 = 0.5 * h2 * (1.0 + _erf(h2 * (0.5 ** 0.5)))
-    h2 = jnp.dot(h2.astype(dt), f2w_ref[:].astype(dt),
-                 preferred_element_type=f32) + f2b_ref[0].astype(f32)
+    h2 = kdot(h2.astype(dt), f2w_ref[:].astype(dt)) + f2b_ref[0].astype(f32)
     out_ref[:, 0] = (y + h2).reshape(bsub, tw, n, c).astype(out_ref.dtype)
 
 
@@ -565,11 +558,9 @@ def _mlp_rows(x, w1_ref, b1_ref, w2_ref, b2_ref):
     from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
     f32 = jnp.float32
     dt = x.dtype
-    h = jnp.dot(x, w1_ref[:].astype(dt),
-                preferred_element_type=f32) + b1_ref[0].astype(f32)
+    h = kdot(x, w1_ref[:].astype(dt)) + b1_ref[0].astype(f32)
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
-    h = jnp.dot(h.astype(dt), w2_ref[:].astype(dt),
-                preferred_element_type=f32) + b2_ref[0].astype(f32)
+    h = kdot(h.astype(dt), w2_ref[:].astype(dt)) + b2_ref[0].astype(f32)
     return x.astype(f32) + h
 
 
@@ -585,20 +576,17 @@ def _dual_core_pw(q3, k3, vs3, vh3, bias_ref, mask_ref, heads, bsub):
     os_h, oh_h = [], []
     for h in range(heads):
         sl = slice(h * dh, (h + 1) * dh)
-        s = jax.lax.dot_general(q3[..., sl], k3[..., sl],
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=f32)
+        s = kdot(q3[..., sl], k3[..., sl],
+                 (((2,), (2,)), ((0,), (0,))))
         s = s + mt + bias_ref[h].astype(f32)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         recip = 1.0 / jnp.sum(e, axis=-1, keepdims=True)
         ebf = e.astype(dt)
-        o1 = jax.lax.dot_general(ebf, vs3[..., sl],
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=f32)
-        o2 = jax.lax.dot_general(ebf, vh3[..., sl],
-                                 (((2,), (1,)), ((0,), (0,))),
-                                 preferred_element_type=f32)
+        o1 = kdot(ebf, vs3[..., sl],
+                  (((2,), (1,)), ((0,), (0,))))
+        o2 = kdot(ebf, vh3[..., sl],
+                  (((2,), (1,)), ((0,), (0,))))
         os_h.append((o1 * recip).astype(dt))
         oh_h.append((o2 * recip).astype(dt))
     rows = nb * n
@@ -642,7 +630,7 @@ def _kernel_enc_ss(key_ref, scale_ref, shift_ref,
     shift_raw, v2 = prep(shift_ref)
 
     def proj(x, w_ref, b_ref):
-        y = jnp.dot(x, w_ref[:].astype(dt),
+        y = kdot(x, w_ref[:].astype(dt),
                     preferred_element_type=f32) + b_ref[0].astype(f32)
         return y.astype(dt).reshape(nb, n, c)
 
@@ -655,9 +643,9 @@ def _kernel_enc_ss(key_ref, scale_ref, shift_ref,
     bp = bp_ref[0].astype(f32)
     wp = wp_ref[:].astype(dt)
     s1 = (scale_raw.astype(f32)
-          + jnp.dot(a1.astype(dt), wp, preferred_element_type=f32) + bp)
+          + kdot(a1.astype(dt), wp) + bp)
     h1 = (shift_raw.astype(f32)
-          + jnp.dot(a2.astype(dt), wp, preferred_element_type=f32) + bp)
+          + kdot(a2.astype(dt), wp) + bp)
 
     out_s = _mlp_rows(s1.astype(dt), s1w_ref, s1b_ref, s2w_ref, s2b_ref)
     out_h = _mlp_rows(h1.astype(dt), h1w_ref, h1b_ref, h2w_ref, h2b_ref)
@@ -810,7 +798,7 @@ def _kernel_dec_tail(q_ref, k_ref, vs_ref, vh_ref, query_ref,
     k3 = rowsof(k_ref, False).reshape(nb, n, c)
 
     def proj(x, w_ref, b_ref):
-        y = jnp.dot(x, w_ref[:].astype(dt),
+        y = kdot(x, w_ref[:].astype(dt),
                     preferred_element_type=f32) + b_ref[0].astype(f32)
         return y.astype(dt).reshape(nb, n, c)
 
@@ -820,8 +808,8 @@ def _kernel_dec_tail(q_ref, k_ref, vs_ref, vh_ref, query_ref,
     a1, a2 = _dual_core_pw(q3, k3, vs3, vh3, bias_ref, mask_ref, heads, bsub)
     bp = bp_ref[0].astype(f32)
     wp = wp_ref[:].astype(dt)
-    sigma = jnp.dot(a1.astype(dt), wp, preferred_element_type=f32) + bp
-    mu = jnp.dot(a2.astype(dt), wp, preferred_element_type=f32) + bp
+    sigma = kdot(a1.astype(dt), wp) + bp
+    mu = kdot(a2.astype(dt), wp) + bp
     query = query_ref[:, 0].reshape(rows, c).astype(f32)
     y = query * sigma + mu
     out = _mlp_rows(y.astype(dt), m1w_ref, m1b_ref, m2w_ref, m2b_ref)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mastermetastyletransfer_tpu.ops.precision import kdot
+
 
 def _kernel(x0_ref, x1_ref, out_ref, *, c_out: int):
     w = out_ref.shape[2]
@@ -141,8 +143,7 @@ def _stencil_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
                 for dx in range(2):
                     v = comb[a + dy:a + dy + r,
                              b + dx:b + dx + w, :].reshape(rows, cin)
-                    t = jnp.dot(v, w_ref[dy, dx][:, sl].astype(dt),
-                                preferred_element_type=f32)
+                    t = kdot(v, w_ref[dy, dx][:, sl].astype(dt))
                     acc = t if acc is None else acc + t
             outs.append(acc)
     y = jnp.concatenate(outs, axis=-1) + b_ref[0].astype(f32)

@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from mastermetastyletransfer_tpu.ops.precision import kdot
+
 
 def _erf(x):
     """erf via the Abramowitz-Stegun 7.1.26 rational approximation
@@ -49,12 +51,10 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h = h.astype(dt)
     # NOTE: weights are stored f32; cast at load or the mixed-dtype dot
     # silently promotes to an f32 matmul (~1/8 MXU peak).
-    h = jnp.dot(h, w1_ref[:].astype(dt),
-                preferred_element_type=f32) + b1_ref[0].astype(f32)
+    h = kdot(h, w1_ref[:].astype(dt)) + b1_ref[0].astype(f32)
     # exact-erf GELU (torch nn.GELU default; parity with torchvision MLP)
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
-    h = jnp.dot(h.astype(dt), w2_ref[:].astype(dt),
-                preferred_element_type=f32) + b2_ref[0].astype(f32)
+    h = kdot(h.astype(dt), w2_ref[:].astype(dt)) + b2_ref[0].astype(f32)
     out_ref[:] = (x + h).astype(out_ref.dtype)
 
 

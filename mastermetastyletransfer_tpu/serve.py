@@ -432,9 +432,19 @@ def main(argv=None):
     ap.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="fused Pallas kernels (disable with --no-use_pallas)")
+    ap.add_argument("--matmul_mode", choices=["native", "split3"],
+                    default="native",
+                    help="in-kernel matmul mode (ops/precision.py); "
+                         "'split3' with --compute_dtype float32 serves the "
+                         "accuracy-compliant (<=1e-3 MAE) operating point")
     args = ap.parse_args(argv)
 
     import jax
+
+    if args.matmul_mode == "split3":
+        # XLA parts of the compliant point run 'high'; kdot shields the
+        # Mosaic kernels from the ambient setting (ops/precision.py).
+        jax.config.update("jax_default_matmul_precision", "high")
 
     from mastermetastyletransfer_tpu.config import ModelConfig
     from mastermetastyletransfer_tpu.models import init_master_model
@@ -445,6 +455,11 @@ def main(argv=None):
         cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
                           transformer=cfg.transformer.replace(use_pallas=True),
                           decoder=cfg.decoder.replace(use_pallas=True))
+    if args.matmul_mode != "native":
+        cfg = cfg.replace(
+            swin=cfg.swin.replace(matmul_mode=args.matmul_mode),
+            transformer=cfg.transformer.replace(matmul_mode=args.matmul_mode),
+            decoder=cfg.decoder.replace(matmul_mode=args.matmul_mode))
     params = init_master_model(jax.random.PRNGKey(0), cfg)
     if args.checkpoint:
         params = ckpt_lib.load_params_npz(args.checkpoint, params)

@@ -94,7 +94,8 @@ def main():
     ap.add_argument("--out", default="goldens/operating_points.json")
     ap.add_argument("--points",
                     default="float32,float32-default,float32-high,"
-                            "float32+pallas,bfloat16,bfloat16+pallas",
+                            "float32+pallas,float32-split3+pallas,"
+                            "bfloat16,bfloat16+pallas",
                     help="comma list from {float32, float32-default, bfloat16, "
                          "float32+pallas, bfloat16+pallas}. Plain 'float32' "
                          "runs under jax.default_matmul_precision('highest') — "
@@ -157,15 +158,23 @@ def main():
         use_pallas = flag == "pallas"
         # "float32" = true f32 ('highest', 6-pass MXU); "float32-high" =
         # 3-pass bf16 ('high'); "float32-default" = f32 arrays at default
-        # matmul precision (single bf16 MXU pass).
-        precision = {"float32": "highest", "float32-high": "high"}.get(dtype)
-        dtype = dtype.replace("-default", "").replace("-high", "")
+        # matmul precision (single bf16 MXU pass); "float32-split3" = the
+        # manual 3-pass hi/lo split INSIDE the Pallas kernels
+        # (ops/precision.kdot — Mosaic cannot lower precision=HIGH) with
+        # ambient 'high' for the XLA parts (decoder convs, patch embed).
+        precision = {"float32": "highest", "float32-high": "high",
+                     "float32-split3": "high"}.get(dtype)
+        mmode = "split3" if dtype.endswith("-split3") else "native"
+        dtype = (dtype.replace("-default", "").replace("-high", "")
+                 .replace("-split3", ""))
         cfg = base.replace(compute_dtype=dtype)
         if use_pallas:
             cfg = cfg.replace(
-                swin=cfg.swin.replace(use_pallas=True),
-                transformer=cfg.transformer.replace(use_pallas=True),
-                decoder=cfg.decoder.replace(use_pallas=True))
+                swin=cfg.swin.replace(use_pallas=True, matmul_mode=mmode),
+                transformer=cfg.transformer.replace(use_pallas=True,
+                                                    matmul_mode=mmode),
+                decoder=cfg.decoder.replace(use_pallas=True,
+                                            matmul_mode=mmode))
 
         @jax.jit
         def stylize(p, c, s, cfg=cfg, precision=precision):

@@ -156,3 +156,51 @@ def test_fused_decoder_tail_kernel(rng):
                              heads, mlp, None, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_kdot_split3_accuracy_and_native_identity():
+    """ops/precision.kdot: 'split3' must land in the ~1e-5 relative class
+    (the 3-pass hi/lo decomposition drops only the lo@lo term) and 'native'
+    must be bit-identical to a plain dot."""
+    from mastermetastyletransfer_tpu.ops.precision import kdot, matmul_mode
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((256, 256)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((256, 512)), jnp.float32)
+    oracle = np.asarray(a, np.float64) @ np.asarray(b, np.float64)
+    scale = np.abs(oracle).mean()
+
+    native = np.asarray(kdot(a, b))
+    np.testing.assert_array_equal(
+        native, np.asarray(jnp.dot(a, b, preferred_element_type=jnp.float32)))
+
+    with matmul_mode("split3"):
+        out = np.asarray(kdot(a, b))
+    rel = np.abs(out - oracle).mean() / scale
+    assert rel < 5e-5, rel
+    # and it must NOT be the 1-pass bf16 result (~2e-3)
+    bf = np.asarray(jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32), np.float64)
+    assert rel < 0.1 * np.abs(bf - oracle).mean() / scale
+
+
+def test_full_model_pallas_split3_compliant():
+    """matmul_mode='split3' through every Pallas forward kernel (interpret
+    mode on CPU): the full-model output stays in the <=1e-3-MAE class vs the
+    plain f32 XLA forward, and differs from it (the mode is actually live).
+    This is the accuracy half of the 'float32-split3+pallas' operating point
+    (scripts/operating_points.py)."""
+    cfg = ModelConfig()
+    cfg_p = ModelConfig(
+        swin=cfg.swin.replace(use_pallas=True, matmul_mode="split3"),
+        transformer=cfg.transformer.replace(use_pallas=True,
+                                            matmul_mode="split3"),
+        decoder=cfg.decoder.replace(use_pallas=True, matmul_mode="split3"))
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    ref = np.asarray(master_apply(params, c, s, cfg, k=1))
+    out = np.asarray(master_apply(params, c, s, cfg_p, k=1))
+    mae = np.abs(out - ref).mean()
+    assert mae <= 1e-3, mae
+    assert mae > 0.0  # split3 is live, not silently falling back to f32
