@@ -321,6 +321,13 @@ def main():
                     help="use the fused Pallas kernels (default)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
+    if args.matmul_mode == "split3" and args.mode == "train":
+        # the Pallas BACKWARD kernels (ops/pallas_*_vjp.py) carry plain dots
+        # that would inherit the ambient 'high' set below — Mosaic rejects
+        # precision=HIGH ("Unsupported dot precision", scripts/probe_split3).
+        # Compliant-precision TRAINING is the XLA path (see ops/precision.py).
+        ap.error("--matmul_mode split3 is inference-only (infer/latency/"
+                 "locked); train uses the XLA path for compliant precision")
     if args.matmul_mode == "split3":
         # the XLA parts (decoder convs, patch embed) of the compliant
         # point run the 3-pass 'high' decomposition; kdot shields the

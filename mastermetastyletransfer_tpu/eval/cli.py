@@ -68,7 +68,6 @@ def main(argv=None):
             transformer=model_cfg.transformer.replace(use_pallas=True),
             decoder=model_cfg.decoder.replace(use_pallas=True))
     if args.matmul_mode != "native":
-        import jax
         jax.config.update("jax_default_matmul_precision", "high")
         model_cfg = model_cfg.replace(
             swin=model_cfg.swin.replace(matmul_mode=args.matmul_mode),

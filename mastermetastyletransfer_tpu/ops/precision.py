@@ -5,8 +5,10 @@ point must not run f32 matmuls at the TPU's DEFAULT precision (a single
 bf16 MXU pass, ~1.2e-2 rel error on the full model — PERF.md "Joint
 operating points"). XLA offers 'high' (3-pass bf16 decomposition, 1.2e-4
 rel) and 'highest' (6-pass, ~2e-6), but **Mosaic only lowers HIGHEST
-in-kernel — precision=HIGH is rejected** (r3 probe). So the compliant
-Pallas point has been paying the full 6-pass cost per matmul.
+in-kernel — precision=HIGH is rejected, explicit OR ambient
+("NotImplementedError: Unsupported dot precision: HIGH", measured on
+hardware — scripts/probe_split3.py)**. So the compliant Pallas point has
+been paying the full 6-pass cost per matmul.
 
 `kdot` closes that gap with a MANUAL 3-pass hi/lo split, algebraically
 the same decomposition XLA's 'high' uses:
@@ -27,12 +29,14 @@ cache identity (a different cfg re-traces and re-reads the var — no
 stale-cache hazard). Tests and probes can use `matmul_mode(...)`
 directly around kernel calls.
 
-Scope: the INFERENCE Pallas kernels (pallas_attention.py, pallas_mlp.py,
-pallas_conv.py). The differentiable kernel pairs (pallas_*_vjp.py) run
-'native' regardless — training precision policy is bf16 (PERF.md train
-bench) and a mode split between a custom-vjp forward and its hand-written
-backward would silently mismatch; keep compliant-accuracy TRAINING on the
-XLA path under jax.default_matmul_precision instead.
+Scope: every FORWARD Pallas kernel — the custom-vjp wrappers
+(pallas_*_vjp.py) reuse the converted forwards (fused_window_attention,
+fused_ln_mlp_residual), so inference is covered end to end. The
+hand-written BACKWARD kernels keep plain dots: training precision policy
+is bf16 (PERF.md train bench), and under an ambient 'high' those dots
+would hit the Mosaic reject above — bench.py refuses
+`--mode train --matmul_mode split3`; keep compliant-accuracy TRAINING on
+the XLA path under jax.default_matmul_precision instead.
 
 Modes:
   "native"  — status quo: plain dot inheriting the ambient
@@ -55,10 +59,6 @@ import jax
 import jax.numpy as jnp
 
 _MODE = contextvars.ContextVar("kernel_matmul_mode", default="native")
-
-
-def current_mode() -> str:
-    return _MODE.get()
 
 
 @contextlib.contextmanager

@@ -96,8 +96,9 @@ def main():
                     default="float32,float32-default,float32-high,"
                             "float32+pallas,float32-split3+pallas,"
                             "bfloat16,bfloat16+pallas",
-                    help="comma list from {float32, float32-default, bfloat16, "
-                         "float32+pallas, bfloat16+pallas}. Plain 'float32' "
+                    help="comma list from {float32, float32-default, "
+                         "float32-high, float32+pallas, float32-split3+pallas, "
+                         "bfloat16, bfloat16+pallas}. Plain 'float32' "
                          "runs under jax.default_matmul_precision('highest') — "
                          "on TPU the DEFAULT matmul precision feeds the MXU "
                          "bf16 passes even for f32 arrays, which is NOT a true "
@@ -165,6 +166,9 @@ def main():
         precision = {"float32": "highest", "float32-high": "high",
                      "float32-split3": "high"}.get(dtype)
         mmode = "split3" if dtype.endswith("-split3") else "native"
+        if mmode == "split3" and not use_pallas:
+            raise SystemExit(f"{point}: split3 lives in the Pallas kernels "
+                             "(ops/precision.py) — use float32-split3+pallas")
         dtype = (dtype.replace("-default", "").replace("-high", "")
                  .replace("-split3", ""))
         cfg = base.replace(compute_dtype=dtype)

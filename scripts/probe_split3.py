@@ -16,6 +16,13 @@ split written as three bf16 dots inside the kernel:
 the model's hot shapes, and (3) lands in the expected ~1e-4 relative
 error class (checked vs a float64 oracle).
 
+Hardware truths this probe pinned (r3): Mosaic rejects precision=HIGH
+BOTH explicit and ambient ("NotImplementedError: Unsupported dot
+precision: HIGH"); HIGHEST and DEFAULT lower fine; split3 lowers fine
+and lands at 4.4e-6 rel. The model's hot GEMM shapes run all modes
+within +-25% (latency-bound), which is why the full-model split3
+operating point is a wash vs HIGHEST (PERF.md lever table).
+
 Timing: ITERS-deep fori_loop INSIDE one kernel so the ~1.7 ms tunnel
 dispatch (CLAUDE.md device model) amortizes; per-dot ms is the
 loop-body marginal cost. Microbench CAUTION applies — keep/revert is
@@ -85,6 +92,10 @@ def _kernel(a_ref, b_ref, o_ref, *, mode, k):
             y = _dot(a, b)
         elif mode == "f32_highest":
             y = _dot(a, b, precision=jax.lax.Precision.HIGHEST)
+        elif mode == "f32_high":
+            # explicit HIGH: r3 session 1 observed a Mosaic reject — kept in
+            # the probe to pin down exactly what this toolchain accepts
+            y = _dot(a, b, precision=jax.lax.Precision.HIGH)
         elif mode == "split3":
             y = _split3(a, b)
         else:
@@ -140,7 +151,7 @@ def main():
         ("proj tall  (8192, 256, 256)", 8192, 256, 256),
         ("control    (2048, 2048, 2048)", 2048, 2048, 2048),
     ]
-    modes = ["bf16", "f32_plain", "f32_highest", "split3"]
+    modes = ["bf16", "f32_plain", "f32_highest", "f32_high", "split3"]
     rng = np.random.default_rng(1)
     print(f"== Pallas in-kernel dot, per-iter ms over {ITERS}-deep loop ==")
     for name, m, k, n in shapes:
