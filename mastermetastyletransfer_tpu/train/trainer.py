@@ -278,6 +278,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=1)
     p.add_argument("--compute_dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["default", "high", "highest"],
+                   help="ambient matmul precision for f32 training. On TPU "
+                        "the DEFAULT precision runs f32 matmuls as single "
+                        "bf16 MXU passes (~1e-2 rel error — PERF.md); pass "
+                        "'high' or 'highest' for accuracy-compliant f32 "
+                        "training on the XLA path (incompatible with "
+                        "--use_pallas: the Pallas backward kernels only "
+                        "lower DEFAULT/HIGHEST — ops/precision.py)")
     p.add_argument("--use_pallas", action="store_true",
                    help="fused Pallas kernels (differentiable attention+MLP)")
     p.add_argument("--swin_variant", default="swin_B",
@@ -327,7 +336,17 @@ def config_from_args(args) -> ExperimentConfig:
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    parser = build_argparser()
+    args = parser.parse_args(argv)
+    if args.matmul_precision == "high" and args.use_pallas:
+        parser.error("--matmul_precision high cannot combine with "
+                     "--use_pallas: Mosaic rejects precision=HIGH "
+                     "(\"Unsupported dot precision\" — ops/precision.py); "
+                     "use highest, or drop --use_pallas")
+    if args.matmul_precision is not None:
+        import jax
+        jax.config.update("jax_default_matmul_precision",
+                          args.matmul_precision)
     cfg = config_from_args(args)
     train(cfg, exp_dir=args.exp_dir, vgg_path=args.vgg_weights,
           resume=args.resume, use_wandb=args.use_wandb,
