@@ -189,6 +189,67 @@ def bench_locked(args):
     }))
 
 
+def bench_meta(args):
+    """Jitted Reptile meta-step throughput (BASELINE config #4's engine;
+    reference meta loop train.py:316-563). One step = num_inner_updates
+    inner Adam steps on omega + the outer theta interpolation; imgs/sec
+    counts every content image consumed (inner_updates * B per call)."""
+    from mastermetastyletransfer_tpu.config import (
+        DataConfig, ExperimentConfig, LossConfig, TrainConfig,
+    )
+    from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.train.state import (
+        create_train_state, make_optimizer,
+    )
+    from mastermetastyletransfer_tpu.train.step import make_meta_train_step
+
+    size = args.size if args.size != 512 else 256  # reference trains on 256^2
+    inner = 4  # reference default num_inner_updates (train.py:316-563)
+    cfg = ExperimentConfig(
+        model=_build_cfg(args),
+        loss=LossConfig(default_lambda_value=10.0),
+        data=DataConfig(crop_to=size),
+        train=TrainConfig(mode="meta", max_layers=4,
+                          num_inner_updates=inner),
+    )
+    params = init_master_model(jax.random.PRNGKey(0), cfg.model)
+    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    tx = make_optimizer(params, cfg.train)
+    state, tx = create_train_state(params, cfg.train, tx)
+    step = make_meta_train_step(cfg, vgg, tx)
+
+    b = args.batch
+    contents = jax.random.uniform(
+        jax.random.PRNGKey(1), (inner, b, size, size, 3))
+    style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
+    rng = jax.random.PRNGKey(3)
+
+    metrics = None
+    for _ in range(args.warmup):
+        state, metrics = step(state, contents, style, rng)
+    if metrics is not None:
+        _sync(metrics["total"])
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, metrics = step(state, contents, style, rng)
+        _sync(metrics["total"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    imgs_per_sec = args.iters * inner * b / best_dt
+    print(json.dumps({
+        "metric": (f"meta-step imgs/sec ({size}x{size}, batch {b}, "
+                   f"{inner} inner updates, {args.dtype}, "
+                   f"pallas={args.pallas})"),
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": None,
+    }))
+
+
 def bench_latency(args):
     """p50/p90 end-to-end batch-1 latency (submit -> pixel on host)."""
     from mastermetastyletransfer_tpu.models import init_master_model
@@ -284,7 +345,8 @@ def bench_train(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["infer", "latency", "train", "locked"],
+    ap.add_argument("--mode",
+                    choices=["infer", "latency", "train", "meta", "locked"],
                     default="infer")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
@@ -321,7 +383,7 @@ def main():
                     help="use the fused Pallas kernels (default)")
     ap.add_argument("--no-pallas", dest="pallas", action="store_false")
     args = ap.parse_args()
-    if args.matmul_mode == "split3" and args.mode == "train":
+    if args.matmul_mode == "split3" and args.mode in ("train", "meta"):
         # the Pallas BACKWARD kernels (ops/pallas_*_vjp.py) carry plain dots
         # that would inherit the ambient 'high' set below — Mosaic rejects
         # precision=HIGH ("Unsupported dot precision", scripts/probe_split3).
@@ -335,7 +397,8 @@ def main():
         jax.config.update("jax_default_matmul_precision", "high")
 
     {"infer": bench_infer, "latency": bench_latency,
-     "train": bench_train, "locked": bench_locked}[args.mode](args)
+     "train": bench_train, "meta": bench_meta,
+     "locked": bench_locked}[args.mode](args)
 
 
 if __name__ == "__main__":

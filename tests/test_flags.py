@@ -64,3 +64,26 @@ def test_similarity_bug_compat():
     cfg = LossConfig()
     r = perceptual_loss(vgg, c, s, o, cfg, compute_similarity=True)
     assert float(r["similarity"]) > 0.0
+
+
+def test_experiment_config_json_roundtrip_carries_every_field():
+    """ExperimentConfig -> JSON -> ExperimentConfig is exact, including the
+    r3 matmul_mode knob on all three submodel configs (a silently dropped
+    field here would resurrect the wrong precision on resume)."""
+    from mastermetastyletransfer_tpu.config import (
+        ExperimentConfig, ModelConfig, TrainConfig,
+    )
+
+    model = ModelConfig()
+    model = model.replace(
+        compute_dtype="bfloat16",
+        swin=model.swin.replace(use_pallas=True, matmul_mode="split3"),
+        transformer=model.transformer.replace(matmul_mode="split3",
+                                              traced_k_impl="scan"),
+        decoder=model.decoder.replace(matmul_mode="split3", phase_exit=8))
+    cfg = ExperimentConfig(model=model,
+                           train=TrainConfig(lambda_style=4.0))
+    back = ExperimentConfig.from_json(cfg.to_json())
+    assert back == cfg
+    assert back.model.swin.matmul_mode == "split3"
+    assert back.model.decoder.phase_exit == 8
