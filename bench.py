@@ -189,6 +189,53 @@ def bench_locked(args):
     }))
 
 
+def bench_sweep(args):
+    """Batched zero-shot inference with the style-lambda control sweep
+    (BASELINE config #2): one vmap over a stacked param pytree (the
+    lambda=2 / lambda=4 trained-checkpoint layout — inference.py), so XLA
+    batches every matmul across the two models. imgs/sec counts every
+    lambda output (2 per pair)."""
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.inference import (
+        make_lambda_sweep_fn, stack_params,
+    )
+
+    cfg = _build_cfg(args)
+    nsets = 2
+    sets = [init_master_model(jax.random.PRNGKey(i), cfg)
+            for i in range(nsets)]
+    stacked = stack_params(sets)
+    sweep = jax.jit(make_lambda_sweep_fn(cfg, k=args.k))
+
+    b, sz = args.batch, args.size
+    content = jax.random.uniform(jax.random.PRNGKey(2), (b, sz, sz, 3))
+    style = jax.random.uniform(jax.random.PRNGKey(3), (b, sz, sz, 3))
+
+    out = None
+    for _ in range(args.warmup):
+        out = sweep(stacked, content, style)
+    if out is not None:
+        _sync(out)
+
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = sweep(stacked, content, style)
+        _sync(out)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+
+    imgs_per_sec = args.iters * b * nsets / best_dt
+    print(json.dumps({
+        "metric": (f"{sz}x{sz} lambda-sweep stylized imgs/sec/chip "
+                   f"({nsets} param sets x batch {b}, k={args.k}, "
+                   f"{args.dtype})"),
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / 500.0, 4),
+    }))
+
+
 def bench_meta(args):
     """Jitted Reptile meta-step throughput (BASELINE config #4's engine;
     reference meta loop train.py:316-563). One step = num_inner_updates
@@ -346,7 +393,8 @@ def bench_train(args):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
-                    choices=["infer", "latency", "train", "meta", "locked"],
+                    choices=["infer", "latency", "train", "meta", "locked",
+                             "sweep"],
                     default="infer")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
@@ -398,7 +446,7 @@ def main():
 
     {"infer": bench_infer, "latency": bench_latency,
      "train": bench_train, "meta": bench_meta,
-     "locked": bench_locked}[args.mode](args)
+     "locked": bench_locked, "sweep": bench_sweep}[args.mode](args)
 
 
 if __name__ == "__main__":
