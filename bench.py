@@ -351,7 +351,7 @@ def bench_train(args):
         model=_build_cfg(args),
         loss=LossConfig(default_lambda_value=10.0),
         data=DataConfig(crop_to=size),
-        train=TrainConfig(mode="plain", max_layers=4),
+        train=TrainConfig(mode=args.train_mode, max_layers=4),
     )
     params = init_master_model(jax.random.PRNGKey(0), cfg.model)
     vgg = init_vgg19_features(jax.random.PRNGKey(1))
@@ -382,8 +382,8 @@ def bench_train(args):
 
     imgs_per_sec = args.iters * b / best_dt
     print(json.dumps({
-        "metric": (f"train-step imgs/sec ({size}x{size}, batch {b}, "
-                   f"{args.dtype}, pallas={args.pallas})"),
+        "metric": (f"{args.train_mode} train-step imgs/sec ({size}x{size}, "
+                   f"batch {b}, {args.dtype}, pallas={args.pallas})"),
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": None,
@@ -408,6 +408,11 @@ def main():
                     help="untimed warmup iterations; 0 = measure cold start "
                          "(first timed round includes compilation)")
     ap.add_argument("--dtype", type=str, default="bfloat16")
+    ap.add_argument("--train_mode", choices=["plain", "fast_adaptation"],
+                    default="plain",
+                    help="--mode train variant: fast_adaptation masks the "
+                         "updates to the style-encoder params (BASELINE "
+                         "config #4; reference adapt mode)")
     ap.add_argument("--matmul_mode", choices=["native", "split3"],
                     default="native",
                     help="in-kernel matmul mode (ops/precision.py). 'split3' "

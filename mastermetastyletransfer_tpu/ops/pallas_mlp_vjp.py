@@ -107,7 +107,17 @@ def _bwd_kernel(x_ref, g_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref,
 def _run_bwd(x2, g2, n_s, n_b, w1, b1, w2, *, use_norm, eps, interpret):
     rows, c = x2.shape
     hidden = w1.shape[1]
-    tile = _rows_tile(rows, c, hidden, itemsize=x2.dtype.itemsize)
+    # The backward holds ~4 live (tile, hidden) f32 intermediates (a, z/dz,
+    # da, plus the dW accumulator read-modify-write) vs the forward's 1-2,
+    # so the forward's row budget sits at the scoped-VMEM edge here: at
+    # tile 1024 / hidden 1024 the kernel scopes 16.12M vs the 16M limit and
+    # whether it fits depends on the SURROUNDING graph's layouts (observed:
+    # plain train compiled, fast_adaptation OOM'd on the identical kernel).
+    # Halve the budget for deterministic headroom.
+    itemsize = x2.dtype.itemsize
+    fwd_budget = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
+    tile = _rows_tile(rows, c, hidden, budget_rows=fwd_budget // 2,
+                      itemsize=itemsize)
     pad = (-rows) % tile
     if pad:
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
