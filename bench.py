@@ -204,8 +204,11 @@ def bench_sweep(args):
     nsets = 2
     sets = [init_master_model(jax.random.PRNGKey(i), cfg)
             for i in range(nsets)]
+    if args.params_dtype:
+        from mastermetastyletransfer_tpu.models import cast_params
+        sets = [cast_params(p, args.params_dtype) for p in sets]
     stacked = stack_params(sets)
-    sweep = jax.jit(make_lambda_sweep_fn(cfg, k=args.k))
+    sweep = make_lambda_sweep_fn(cfg, k=args.k)  # already jitted inside
 
     b, sz = args.batch, args.size
     content = jax.random.uniform(jax.random.PRNGKey(2), (b, sz, sz, 3))
@@ -236,11 +239,11 @@ def bench_sweep(args):
     }))
 
 
-def bench_meta(args):
-    """Jitted Reptile meta-step throughput (BASELINE config #4's engine;
-    reference meta loop train.py:316-563). One step = num_inner_updates
-    inner Adam steps on omega + the outer theta interpolation; imgs/sec
-    counts every content image consumed (inner_updates * B per call)."""
+def _bench_train_family(args, *, train_cfg_kwargs, make_step,
+                        make_data, imgs_per_call, metric):
+    """Shared scaffold for the train-family modes (train/meta): config +
+    state + jitted step, honest warmup (--warmup 0 really measures
+    cold-start), best-of-3 timed rounds synced through the tunnel."""
     from mastermetastyletransfer_tpu.config import (
         DataConfig, ExperimentConfig, LossConfig, TrainConfig,
     )
@@ -249,32 +252,26 @@ def bench_meta(args):
     from mastermetastyletransfer_tpu.train.state import (
         create_train_state, make_optimizer,
     )
-    from mastermetastyletransfer_tpu.train.step import make_meta_train_step
 
     size = args.size if args.size != 512 else 256  # reference trains on 256^2
-    inner = 4  # reference default num_inner_updates (train.py:316-563)
     cfg = ExperimentConfig(
         model=_build_cfg(args),
         loss=LossConfig(default_lambda_value=10.0),
         data=DataConfig(crop_to=size),
-        train=TrainConfig(mode="meta", max_layers=4,
-                          num_inner_updates=inner),
+        train=TrainConfig(max_layers=4, **train_cfg_kwargs),
     )
     params = init_master_model(jax.random.PRNGKey(0), cfg.model)
-    vgg = init_vgg19_features(jax.random.PRNGKey(1))
+    vgg = init_vgg19_features(jax.random.PRNGKey(10))
     tx = make_optimizer(params, cfg.train)
     state, tx = create_train_state(params, cfg.train, tx)
-    step = make_meta_train_step(cfg, vgg, tx)
+    step = make_step(cfg, vgg, tx)
 
-    b = args.batch
-    contents = jax.random.uniform(
-        jax.random.PRNGKey(1), (inner, b, size, size, 3))
-    style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
+    data = make_data(size, args.batch)
     rng = jax.random.PRNGKey(3)
 
     metrics = None
     for _ in range(args.warmup):
-        state, metrics = step(state, contents, style, rng)
+        state, metrics = step(state, *data, rng)
     if metrics is not None:
         _sync(metrics["total"])
 
@@ -282,19 +279,44 @@ def bench_meta(args):
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(args.iters):
-            state, metrics = step(state, contents, style, rng)
+            state, metrics = step(state, *data, rng)
         _sync(metrics["total"])
         best_dt = min(best_dt, time.perf_counter() - t0)
 
-    imgs_per_sec = args.iters * inner * b / best_dt
+    imgs_per_sec = args.iters * imgs_per_call(args.batch) / best_dt
     print(json.dumps({
-        "metric": (f"meta-step imgs/sec ({size}x{size}, batch {b}, "
-                   f"{inner} inner updates, {args.dtype}, "
-                   f"pallas={args.pallas})"),
+        "metric": metric(size),
         "value": round(imgs_per_sec, 2),
         "unit": "imgs/sec",
         "vs_baseline": None,
     }))
+
+
+def bench_meta(args):
+    """Jitted Reptile meta-step throughput (the meta loop's engine;
+    reference train.py:316-563). One step = num_inner_updates inner Adam
+    steps on omega + the outer theta interpolation; imgs/sec counts every
+    content image consumed (inner_updates * B per call)."""
+    from mastermetastyletransfer_tpu.train.step import make_meta_train_step
+
+    inner = 4  # reference default num_inner_updates (train.py:316-563)
+
+    def make_data(size, b):
+        contents = jax.random.uniform(
+            jax.random.PRNGKey(1), (inner, b, size, size, 3))
+        style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
+        return contents, style
+
+    _bench_train_family(
+        args,
+        train_cfg_kwargs=dict(mode="meta", num_inner_updates=inner),
+        make_step=make_meta_train_step,
+        make_data=make_data,
+        imgs_per_call=lambda b: inner * b,
+        metric=lambda size: (f"meta-step imgs/sec ({size}x{size}, batch "
+                             f"{args.batch}, {inner} inner updates, "
+                             f"{args.dtype}, pallas={args.pallas})"),
+    )
 
 
 def bench_latency(args):
@@ -335,59 +357,26 @@ def bench_latency(args):
 
 
 def bench_train(args):
-    """Jitted train-step throughput (BASELINE config #3)."""
-    from mastermetastyletransfer_tpu.config import (
-        DataConfig, ExperimentConfig, LossConfig, TrainConfig,
-    )
-    from mastermetastyletransfer_tpu.losses.vgg import init_vgg19_features
-    from mastermetastyletransfer_tpu.models import init_master_model
-    from mastermetastyletransfer_tpu.train.state import (
-        create_train_state, make_optimizer,
-    )
+    """Jitted train-step throughput (BASELINE config #3; --train_mode
+    fast_adaptation covers config #4's masked-update variant)."""
     from mastermetastyletransfer_tpu.train.step import make_train_step
 
-    size = args.size if args.size != 512 else 256  # reference trains on 256^2 crops
-    cfg = ExperimentConfig(
-        model=_build_cfg(args),
-        loss=LossConfig(default_lambda_value=10.0),
-        data=DataConfig(crop_to=size),
-        train=TrainConfig(mode=args.train_mode, max_layers=4),
+    def make_data(size, b):
+        content = jax.random.uniform(jax.random.PRNGKey(1),
+                                     (b, size, size, 3))
+        style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
+        return content, style
+
+    _bench_train_family(
+        args,
+        train_cfg_kwargs=dict(mode=args.train_mode),
+        make_step=make_train_step,
+        make_data=make_data,
+        imgs_per_call=lambda b: b,
+        metric=lambda size: (f"{args.train_mode} train-step imgs/sec "
+                             f"({size}x{size}, batch {args.batch}, "
+                             f"{args.dtype}, pallas={args.pallas})"),
     )
-    params = init_master_model(jax.random.PRNGKey(0), cfg.model)
-    vgg = init_vgg19_features(jax.random.PRNGKey(1))
-    tx = make_optimizer(params, cfg.train)
-    state, tx = create_train_state(params, cfg.train, tx)
-    step = make_train_step(cfg, vgg, tx)
-
-    b = args.batch
-    content = jax.random.uniform(jax.random.PRNGKey(1), (b, size, size, 3))
-    style = jax.random.uniform(jax.random.PRNGKey(2), (b, size, size, 3))
-    rng = jax.random.PRNGKey(3)
-
-    # warmup is honest: --warmup 0 really skips compile-before-timing, so the
-    # first timed round measures cold-start (compile included).
-    metrics = None
-    for _ in range(args.warmup):
-        state, metrics = step(state, content, style, rng)
-    if metrics is not None:
-        _sync(metrics["total"])
-
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            state, metrics = step(state, content, style, rng)
-        _sync(metrics["total"])
-        best_dt = min(best_dt, time.perf_counter() - t0)
-
-    imgs_per_sec = args.iters * b / best_dt
-    print(json.dumps({
-        "metric": (f"{args.train_mode} train-step imgs/sec ({size}x{size}, "
-                   f"batch {b}, {args.dtype}, pallas={args.pallas})"),
-        "value": round(imgs_per_sec, 2),
-        "unit": "imgs/sec",
-        "vs_baseline": None,
-    }))
 
 
 def main():
@@ -442,7 +431,8 @@ def main():
         # precision=HIGH ("Unsupported dot precision", scripts/probe_split3).
         # Compliant-precision TRAINING is the XLA path (see ops/precision.py).
         ap.error("--matmul_mode split3 is inference-only (infer/latency/"
-                 "locked); train uses the XLA path for compliant precision")
+                 "locked/sweep); train and meta use the XLA path for "
+                 "compliant precision")
     if args.matmul_mode == "split3":
         # the XLA parts (decoder convs, patch embed) of the compliant
         # point run the 3-pass 'high' decomposition; kdot shields the

@@ -272,6 +272,11 @@ class TrainConfig(_ConfigBase):
     Mirrors the flag surface of train.py:589-806 / train_only_inner_loop.py:619-879.
     """
     mode: str = "plain"                 # "plain" | "meta" | "fast_adaptation"
+    # Ambient matmul precision for the run ("default" | "high" | "highest").
+    # Lives IN the config so checkpoints/exp-dir/metrics record it and a
+    # resumed run restores it (TPU DEFAULT runs f32 matmuls as single bf16
+    # MXU passes — PERF.md); applied by train/trainer.py at run start.
+    matmul_precision: str = "default"
     inner_lr: float = 1e-4
     outer_lr: float = 1e-4              # Reptile outer step (meta mode)
     num_inner_updates: int = 1

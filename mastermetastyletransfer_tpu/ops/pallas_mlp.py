@@ -8,8 +8,9 @@ the style encoder's three per-stream MLPs
 (reference math: torchvision MLP semantics, codes/style_transformer.py:366,
 :839-841, :991; LN -> MLP -> +x residual at :383-396).
 
-Eval-mode only (dropout/stochastic-depth are identity); training
-differentiates through the XLA path.
+Dropout/stochastic-depth are identity here (eval semantics); training
+differentiates through the custom-VJP wrapper (ops/pallas_mlp_vjp.py),
+which reuses this forward and adds a Pallas backward kernel.
 """
 
 from __future__ import annotations
@@ -58,6 +59,14 @@ def _kernel(x_ref, n_s_ref, n_b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     out_ref[:] = (x + h).astype(out_ref.dtype)
 
 
+def _default_budget_rows(hidden: int, itemsize: int) -> int:
+    """Forward row budget: 1024 rows scaled down for wide hidden dims,
+    halved for f32 inputs (the (rows, hidden) f32 buffer is the VMEM
+    driver). The backward kernel uses HALF of this (pallas_mlp_vjp) — it
+    holds ~4 live (tile, hidden) intermediates vs the forward's 1-2."""
+    return max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
+
+
 def _rows_tile(rows: int, c: int, hidden: int,
                budget_rows: Optional[int] = None, itemsize: int = 2) -> int:
     """Row-tile size: multiple of 8 (fp32 sublane), <= budget. Prefers an
@@ -70,7 +79,7 @@ def _rows_tile(rows: int, c: int, hidden: int,
     calibrated for 2-byte input streams; f32 inputs halve it (measured r3:
     tile 1024 at hidden 1024 scoped 16.95M/16M with f32 blocks)."""
     if budget_rows is None:
-        budget_rows = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
+        budget_rows = _default_budget_rows(hidden, itemsize)
     t = min(budget_rows, rows)
     probe = t - t % 8
     while probe > 8 and rows % probe:

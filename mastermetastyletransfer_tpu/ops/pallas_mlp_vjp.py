@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mastermetastyletransfer_tpu.ops.pallas_mlp import (
-    _erf, _rows_tile, fused_ln_mlp_residual,
+    _default_budget_rows, _erf, _rows_tile, fused_ln_mlp_residual,
 )
 
 _INV_SQRT2 = 0.5 ** 0.5
@@ -115,8 +115,8 @@ def _run_bwd(x2, g2, n_s, n_b, w1, b1, w2, *, use_norm, eps, interpret):
     # plain train compiled, fast_adaptation OOM'd on the identical kernel).
     # Halve the budget for deterministic headroom.
     itemsize = x2.dtype.itemsize
-    fwd_budget = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
-    tile = _rows_tile(rows, c, hidden, budget_rows=fwd_budget // 2,
+    tile = _rows_tile(rows, c, hidden,
+                      budget_rows=_default_budget_rows(hidden, itemsize) // 2,
                       itemsize=itemsize)
     pad = (-rows) % tile
     if pad:

@@ -123,6 +123,9 @@ def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
           use_wandb: bool = False, log_every: int = 10,
           dump_images: bool = True, wandb_mode: str = "online") -> dict:
     """Run the configured training loop; returns final metrics."""
+    if cfg.train.matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision",
+                          cfg.train.matmul_precision)
     exp_dir = _resolve_exp_dir(exp_dir, resume)
     os.makedirs(exp_dir, exist_ok=True)
     with open(os.path.join(exp_dir, "config.json"), "w") as f:
@@ -343,11 +346,12 @@ def main(argv=None):
                      "--use_pallas: Mosaic rejects precision=HIGH "
                      "(\"Unsupported dot precision\" — ops/precision.py); "
                      "use highest, or drop --use_pallas")
-    if args.matmul_precision is not None:
-        import jax
-        jax.config.update("jax_default_matmul_precision",
-                          args.matmul_precision)
     cfg = config_from_args(args)
+    if args.matmul_precision is not None:
+        # recorded in the config (checkpoints/exp-dir/metrics) and applied
+        # by train() so a resume restores the precision that trained the run
+        cfg = cfg.replace(train=cfg.train.replace(
+            matmul_precision=args.matmul_precision))
     train(cfg, exp_dir=args.exp_dir, vgg_path=args.vgg_weights,
           resume=args.resume, use_wandb=args.use_wandb,
           log_every=args.log_every, wandb_mode=args.wandb_mode)
