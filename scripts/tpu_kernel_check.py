@@ -125,5 +125,36 @@ def main():
                   flush=True)
 
 
+def check_bwd_mlp_vmem_edge():
+    """Hardware-compile gate for the bwd MLP kernel at the exact shape that
+    OOM'd scoped VMEM in r3 (rows 8192, C 256, hidden 1024, bf16): at the
+    FORWARD row budget it scoped 16.12M/16M and fit only in SOME
+    surrounding graphs (plain train compiled, fast_adaptation crashed);
+    the bwd budget is now halved (pallas_mlp_vjp._run_bwd). Interpret mode
+    cannot catch this class — only a real Mosaic compile does."""
+    from mastermetastyletransfer_tpu.ops.pallas_mlp_vjp import ln_mlp_residual
+
+    rows, c, hidden = 8192, 256, 1024
+    x = jax.random.normal(jax.random.PRNGKey(0), (rows, c), jnp.bfloat16)
+    mlp = {
+        "fc1": {"kernel": jax.random.normal(jax.random.PRNGKey(1),
+                                            (c, hidden)) * 0.02,
+                "bias": jnp.zeros((hidden,))},
+        "fc2": {"kernel": jax.random.normal(jax.random.PRNGKey(2),
+                                            (hidden, c)) * 0.02,
+                "bias": jnp.zeros((c,))},
+    }
+    norm = {"scale": jnp.ones((c,)), "bias": jnp.zeros((c,))}
+
+    def loss(mlp_p, xx):
+        return jnp.sum(ln_mlp_residual(xx, mlp_p, norm).astype(jnp.float32))
+
+    g = jax.jit(jax.grad(loss))(mlp, x)
+    sync(g["fc1"]["kernel"])
+    print(json.dumps({"check": "bwd_mlp_vmem_edge (8192x256->1024 bf16)",
+                      "ok": True}), flush=True)
+
+
 if __name__ == "__main__":
     main()
+    check_bwd_mlp_vmem_edge()
