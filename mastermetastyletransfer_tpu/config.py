@@ -202,7 +202,8 @@ class DecoderConfig(_ConfigBase):
     # narrow, but its align+interleave tail can lose to a plain XLA conv at
     # the last layers — A/B'd on the full bench (PERF.md round 3).
     phase_exit: int = 99
-    # OPT-IN stencil-GEMM phase conv (ops/pallas_conv.stencil_phase_conv):
+    # Stencil-GEMM phase conv (ops/pallas_conv.stencil_phase_conv),
+    # DEFAULT ON since the r3 input-resident rewrite (+2% style-locked):
     # conv+bias+ReLU+align in one kernel of MXU GEMMs. The r3 input-resident
     # rewrite (one streamed view + 2-row tail instead of three full halo
     # views) turned the first version's -1..-2% into +2% on style-locked

@@ -132,10 +132,14 @@ def blend_style_streams(streams: List, weights) -> object:
     if ws.shape[0] != len(streams):
         raise ValueError(f"{len(streams)} streams but {ws.shape[0]} weights"
                          " — zip would silently drop the extras")
-    total = float(np.sum(np.asarray(jax.device_get(ws))))
-    if total == 0.0:
-        raise ValueError("weights sum to zero")
-    ws = ws / total
+    # Validate on the HOST input when possible so the blend stays jittable
+    # (weights may be a tracer when a caller sweeps them under jit: the
+    # zero-sum check then moves to the caller, and normalization traces).
+    if not isinstance(ws, jax.core.Tracer):
+        total = float(np.sum(np.asarray(weights, np.float32)))
+        if total == 0.0:
+            raise ValueError("weights sum to zero")
+    ws = ws / jnp.sum(ws)
     return jax.tree_util.tree_map(
         lambda *xs: sum(w * x.astype(jnp.float32)
                         for w, x in zip(ws, xs)).astype(xs[0].dtype),

@@ -178,10 +178,17 @@ class LockedStyleService:
                              daemon=True).start()
 
     def warmup(self):
-        z = np.zeros((self.size, self.size, 3), np.float32)
-        for name in self.names:
-            for k in self.ks:
-                self.stylize(z, name, k=k)
+        # Compile directly (bypassing the request queue and its 60s timeout):
+        # a cold-cache compile takes 1-5 min on the target TPU, which would
+        # time out the queued path and crash startup. One stream per k is
+        # enough — the jitted fn is shared across styles of the same k.
+        z = np.zeros((self.max_batch, self.size, self.size, 3), np.float32)
+        for k in self.ks:
+            stream = self._streams[(self.names[0], k)]
+            with self._lock:
+                out = self._fn(self.params, z, stream)
+            self._jax.device_get(
+                self._jax.tree_util.tree_leaves(out)[0].ravel()[0])
 
     def _loop(self, key):
         q = self._queues[key]

@@ -124,6 +124,17 @@ def train(cfg: ExperimentConfig, *, exp_dir: str = "experiments/run",
           dump_images: bool = True, wandb_mode: str = "online") -> dict:
     """Run the configured training loop; returns final metrics."""
     if cfg.train.matmul_precision != "default":
+        uses_pallas = (cfg.model.swin.use_pallas
+                       or cfg.model.transformer.use_pallas
+                       or cfg.model.decoder.use_pallas)
+        if cfg.train.matmul_precision == "high" and uses_pallas:
+            # enforce where the config is APPLIED, not only in the CLI: a
+            # resumed/programmatic run would otherwise die minutes into the
+            # first Pallas-backward compile with Mosaic's HIGH reject
+            raise ValueError(
+                "matmul_precision='high' cannot combine with use_pallas: "
+                "Mosaic rejects precision=HIGH (ops/precision.py); use "
+                "'highest' or disable the Pallas kernels")
         jax.config.update("jax_default_matmul_precision",
                           cfg.train.matmul_precision)
     exp_dir = _resolve_exp_dir(exp_dir, resume)

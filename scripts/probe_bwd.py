@@ -45,7 +45,8 @@ def run(name, fn, *args):
 def main(force_bsub=None):
     if force_bsub is not None:
         import mastermetastyletransfer_tpu.ops.pallas_attention_vjp as pav
-        forced = lambda b, c, twn: min(force_bsub, b)
+        # tolerate the r3 budget/itemsize kwargs
+        forced = lambda b, c, twn, **kw: min(force_bsub, b)
         pa._pick_bsub = forced
         pav._pick_bsub = forced
 

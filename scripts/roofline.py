@@ -469,8 +469,10 @@ def part_mlp(batch=8):
 
     orig = pm._rows_tile
     for budget in (256, 512, 1024):
-        pm._rows_tile = lambda r, cc, h, budget_rows=budget: orig(
-            r, cc, h, budget_rows)
+        # accept and forward the r3 itemsize kwarg (a positional-only
+        # lambda here silently turned every row into an error report)
+        pm._rows_tile = lambda r, cc, h, budget_rows=budget, **kw: orig(
+            r, cc, h, budget_rows, **kw)
         f_p = jax.jit(lambda p, x: pm.fused_ln_mlp_residual(x, p, None))
         try:
             dt = timeit(f_p, p, x)
