@@ -434,6 +434,9 @@ def main():
                  "locked/sweep); train and meta use the XLA path for "
                  "compliant precision")
     if args.matmul_mode == "split3":
+        if not args.pallas:
+            ap.error("--matmul_mode split3 requires the Pallas path "
+                     "(split3 runs inside the kernels; drop --no-pallas)")
         # the XLA parts (decoder convs, patch embed) of the compliant
         # point run the 3-pass 'high' decomposition; kdot shields the
         # Mosaic kernels from it (ops/precision.py)

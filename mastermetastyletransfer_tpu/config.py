@@ -222,6 +222,19 @@ class ModelConfig(_ConfigBase):
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     # Compute dtype for the forward pass ("float32" or "bfloat16"); params stay fp32.
     compute_dtype: str = "float32"
+    # Per-stage dtype overrides (mixed-precision operating points, r4).
+    # None -> compute_dtype. When an override IS set, that stage manages its
+    # own matmul precision (f32 stage -> HIGHEST so the TPU MXU doesn't
+    # silently run its f32 matmuls as single bf16 passes; bf16 stage ->
+    # DEFAULT), so a mixed config is self-contained regardless of the
+    # ambient jax.default_matmul_precision. With all three at None, behavior
+    # is exactly the pre-r4 single-dtype path (ambient precision applies).
+    swin_dtype: Optional[str] = None
+    transformer_dtype: Optional[str] = None
+    decoder_dtype: Optional[str] = None
+
+    def stage_dtype(self, stage: str) -> str:
+        return getattr(self, f"{stage}_dtype") or self.compute_dtype
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
@@ -230,6 +243,9 @@ class ModelConfig(_ConfigBase):
             transformer=StyleTransformerConfig.from_dict(d.get("transformer", {})),
             decoder=DecoderConfig.from_dict(d.get("decoder", {})),
             compute_dtype=d.get("compute_dtype", "float32"),
+            swin_dtype=d.get("swin_dtype"),
+            transformer_dtype=d.get("transformer_dtype"),
+            decoder_dtype=d.get("decoder_dtype"),
         )
 
 

@@ -68,6 +68,13 @@ def main(argv=None):
             transformer=model_cfg.transformer.replace(use_pallas=True),
             decoder=model_cfg.decoder.replace(use_pallas=True))
     if args.matmul_mode != "native":
+        # split3 lives in the Pallas kernel bodies (ops/precision.kdot);
+        # without --use_pallas it would be inert while the ambient-precision
+        # flip below still changed results vs both documented points.
+        if not args.use_pallas:
+            raise SystemExit("--matmul_mode split3 requires --use_pallas "
+                             "(split3 runs inside the Pallas kernels; see "
+                             "scripts/operating_points.py)")
         jax.config.update("jax_default_matmul_precision", "high")
         model_cfg = model_cfg.replace(
             swin=model_cfg.swin.replace(matmul_mode=args.matmul_mode),

@@ -133,13 +133,16 @@ def blend_style_streams(streams: List, weights) -> object:
         raise ValueError(f"{len(streams)} streams but {ws.shape[0]} weights"
                          " — zip would silently drop the extras")
     # Validate on the HOST input when possible so the blend stays jittable
-    # (weights may be a tracer when a caller sweeps them under jit: the
-    # zero-sum check then moves to the caller, and normalization traces).
+    # (weights may be a tracer when a caller sweeps them under jit). Traced
+    # weights cannot raise, so normalization guards the denominator: a
+    # zero-sum sweep point yields all-zero streams (visibly wrong, easy to
+    # assert on) instead of silently NaN-poisoning every downstream image.
     if not isinstance(ws, jax.core.Tracer):
         total = float(np.sum(np.asarray(weights, np.float32)))
         if total == 0.0:
             raise ValueError("weights sum to zero")
-    ws = ws / jnp.sum(ws)
+    total = jnp.sum(ws)
+    ws = ws / jnp.where(jnp.abs(total) > 0, total, 1.0)
     return jax.tree_util.tree_map(
         lambda *xs: sum(w * x.astype(jnp.float32)
                         for w, x in zip(ws, xs)).astype(xs[0].dtype),

@@ -8,6 +8,7 @@ with static layer count k and compute-dtype policy.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Optional
 
 import jax
@@ -44,6 +45,23 @@ def cast_params(params: dict, dtype) -> dict:
         if jnp.issubdtype(x.dtype, jnp.floating) else x, params)
 
 
+def _stage_ctx(cfg: ModelConfig, stage: str):
+    """Precision context for one stage of the forward pass.
+
+    Only active when the stage has an explicit dtype override (mixed-
+    precision policy): an f32 stage then runs under matmul precision
+    HIGHEST (the TPU's DEFAULT feeds f32 arrays to the MXU as single bf16
+    passes — PERF.md device model), a bf16 stage under DEFAULT (bf16 is MXU-
+    native; nesting restores it even if an outer 'highest' context is
+    ambient). With no override, ambient precision applies — exactly the
+    pre-r4 behavior every recorded operating point was measured under.
+    """
+    if getattr(cfg, f"{stage}_dtype") is None:
+        return contextlib.nullcontext()
+    f32 = jnp.dtype(cfg.stage_dtype(stage)) == jnp.float32
+    return jax.default_matmul_precision("highest" if f32 else "default")
+
+
 def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
                  cfg: ModelConfig, *, k: int = 1, max_k: Optional[int] = None,
                  deterministic: bool = True,
@@ -56,7 +74,7 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
     k = number of stacked style-transformer iterations (ZS-L1 vs ZS-L3 knob);
     pass max_k to allow a traced k (training with random k).
     """
-    dtype = jnp.dtype(cfg.compute_dtype)
+    dtype = jnp.dtype(cfg.stage_dtype("swin"))
     content = content.astype(dtype)
     style = style.astype(dtype)
 
@@ -71,20 +89,21 @@ def master_apply(params: dict, content: jnp.ndarray, style: jnp.ndarray,
     # Content and style ride ONE batched encoder pass (the reference calls
     # swin twice, codes/full_model.py:219-220; every op here is
     # batch-independent so a concat is exact and halves per-op overhead).
-    if content.shape == style.shape:
-        b = content.shape[0]
-        both = swin_backbone_apply(
-            params["swin"], jnp.concatenate([content, style], axis=0),
-            cfg.swin, deterministic=deterministic, rng=r_swin)
-        fc, fs = both[:b], both[b:]
-    else:
-        r_sw2 = None
-        if r_swin is not None:
-            r_swin, r_sw2 = jax.random.split(r_swin)
-        fc = swin_backbone_apply(params["swin"], content, cfg.swin,
-                                 deterministic=deterministic, rng=r_swin)
-        fs = swin_backbone_apply(params["swin"], style, cfg.swin,
-                                 deterministic=deterministic, rng=r_sw2)
+    with _stage_ctx(cfg, "swin"):
+        if content.shape == style.shape:
+            b = content.shape[0]
+            both = swin_backbone_apply(
+                params["swin"], jnp.concatenate([content, style], axis=0),
+                cfg.swin, deterministic=deterministic, rng=r_swin)
+            fc, fs = both[:b], both[b:]
+        else:
+            r_sw2 = None
+            if r_swin is not None:
+                r_swin, r_sw2 = jax.random.split(r_swin)
+            fc = swin_backbone_apply(params["swin"], content, cfg.swin,
+                                     deterministic=deterministic, rng=r_swin)
+            fs = swin_backbone_apply(params["swin"], style, cfg.swin,
+                                     deterministic=deterministic, rng=r_sw2)
 
     return stylize_from_features(params, fc, fs, cfg, k=k, max_k=max_k,
                                  deterministic=deterministic, rng=r_st)
@@ -96,8 +115,10 @@ def encode_features(params: dict, images: jnp.ndarray,
     callers cache style features across many contents (the eval grid reuses
     each style 11x; the reference recomputes swin per pair,
     codes/full_model.py:219-220)."""
-    return swin_backbone_apply(
-        params["swin"], images.astype(jnp.dtype(cfg.compute_dtype)), cfg.swin)
+    with _stage_ctx(cfg, "swin"):
+        return swin_backbone_apply(
+            params["swin"],
+            images.astype(jnp.dtype(cfg.stage_dtype("swin"))), cfg.swin)
 
 
 def stylize_from_features(params: dict, fc: jnp.ndarray, fs: jnp.ndarray,
@@ -106,10 +127,15 @@ def stylize_from_features(params: dict, fc: jnp.ndarray, fs: jnp.ndarray,
                           deterministic: bool = True,
                           rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """Style transformer + CNN decoder on precomputed encoder features."""
-    fcs = style_transformer_apply(
-        params["style_transformer"], fc, fs, cfg.transformer,
-        k=k, max_k=max_k, deterministic=deterministic, rng=rng)
-    out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
+    td = jnp.dtype(cfg.stage_dtype("transformer"))
+    with _stage_ctx(cfg, "transformer"):
+        fcs = style_transformer_apply(
+            params["style_transformer"], fc.astype(td), fs.astype(td),
+            cfg.transformer, k=k, max_k=max_k,
+            deterministic=deterministic, rng=rng)
+    dd = jnp.dtype(cfg.stage_dtype("decoder"))
+    with _stage_ctx(cfg, "decoder"):
+        out = cnn_decoder_apply(params["decoder"], fcs.astype(dd), cfg.decoder)
     return out.astype(jnp.float32)
 
 
@@ -123,17 +149,24 @@ def encode_style_stream(params: dict, style: jnp.ndarray, cfg: ModelConfig,
     pass AND the encoder half of every transformer iteration from each
     subsequent content (style-locked serving, eval-grid sweeps)."""
     fs = encode_features(params, style, cfg)
-    return style_transformer_stream(
-        params["style_transformer"], fs, cfg.transformer, k=k)
+    td = jnp.dtype(cfg.stage_dtype("transformer"))
+    with _stage_ctx(cfg, "transformer"):
+        return style_transformer_stream(
+            params["style_transformer"], fs.astype(td), cfg.transformer, k=k)
 
 
 def stylize_from_features_with_stream(params: dict, fc: jnp.ndarray, stream,
                                       cfg: ModelConfig) -> jnp.ndarray:
     """Transformer decoder + CNN decoder on precomputed content features and
     a precomputed style stream (encode_style_stream, same cfg)."""
-    fcs = style_transformer_apply_from_stream(
-        params["style_transformer"], fc, stream, cfg.transformer)
-    out = cnn_decoder_apply(params["decoder"], fcs, cfg.decoder)
+    td = jnp.dtype(cfg.stage_dtype("transformer"))
+    with _stage_ctx(cfg, "transformer"):
+        fcs = style_transformer_apply_from_stream(
+            params["style_transformer"], fc.astype(td), stream,
+            cfg.transformer)
+    dd = jnp.dtype(cfg.stage_dtype("decoder"))
+    with _stage_ctx(cfg, "decoder"):
+        out = cnn_decoder_apply(params["decoder"], fcs.astype(dd), cfg.decoder)
     return out.astype(jnp.float32)
 
 

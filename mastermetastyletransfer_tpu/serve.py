@@ -449,6 +449,9 @@ def main(argv=None):
     import jax
 
     if args.matmul_mode == "split3":
+        if not args.use_pallas:
+            raise SystemExit("--matmul_mode split3 requires --use_pallas "
+                             "(split3 runs inside the Pallas kernels)")
         # XLA parts of the compliant point run 'high'; kdot shields the
         # Mosaic kernels from the ambient setting (ops/precision.py).
         jax.config.update("jax_default_matmul_precision", "high")

@@ -105,7 +105,11 @@ def main():
                          "f32 operating point (diagnosed r3: default-precision "
                          "'f32' MAE tracked the bf16 point at ~1.7e-2 while "
                          "CPU f32 is 2.9e-6). 'float32-default' keeps the old "
-                         "behavior, recorded for the precision-cost table.")
+                         "behavior, recorded for the precision-cost table. "
+                         "Also: mix-<swin><st><dec>[+pallas] with letters in "
+                         "{b, F} = the r4 per-stage dtype policy, e.g. "
+                         "mix-bFF+pallas (bf16 swin, f32 transformer+decoder; "
+                         "stage contexts pin per-stage matmul precision).")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -157,28 +161,49 @@ def main():
         point = point.strip()
         dtype, _, flag = point.partition("+")
         use_pallas = flag == "pallas"
-        # "float32" = true f32 ('highest', 6-pass MXU); "float32-high" =
-        # 3-pass bf16 ('high'); "float32-default" = f32 arrays at default
-        # matmul precision (single bf16 MXU pass); "float32-split3" = the
-        # manual 3-pass hi/lo split INSIDE the Pallas kernels
-        # (ops/precision.kdot — Mosaic cannot lower precision=HIGH) with
-        # ambient 'high' for the XLA parts (decoder convs, patch embed).
-        precision = {"float32": "highest", "float32-high": "high",
-                     "float32-split3": "high"}.get(dtype)
-        mmode = "split3" if dtype.endswith("-split3") else "native"
-        if mmode == "split3" and not use_pallas:
-            raise SystemExit(f"{point}: split3 lives in the Pallas kernels "
-                             "(ops/precision.py) — use float32-split3+pallas")
-        dtype = (dtype.replace("-default", "").replace("-high", "")
-                 .replace("-split3", ""))
-        cfg = base.replace(compute_dtype=dtype)
-        if use_pallas:
-            cfg = cfg.replace(
-                swin=cfg.swin.replace(use_pallas=True, matmul_mode=mmode),
-                transformer=cfg.transformer.replace(use_pallas=True,
-                                                    matmul_mode=mmode),
-                decoder=cfg.decoder.replace(use_pallas=True,
-                                            matmul_mode=mmode))
+        if dtype.startswith("mix-"):
+            # Per-stage dtype policy (r4): mix-<swin><st><dec>[+pallas],
+            # each letter b (bfloat16) or F (float32). The stage contexts in
+            # models/master.py pin the matmul precision per stage (f32 ->
+            # HIGHEST, bf16 -> DEFAULT), so no ambient precision is set.
+            tag = dtype[len("mix-"):]
+            if len(tag) != 3 or any(c not in "bF" for c in tag):
+                raise SystemExit(f"{point}: expected mix-<swin><st><dec> "
+                                 "with letters in {b, F}")
+            names = {"b": "bfloat16", "F": "float32"}
+            cfg = base.replace(swin_dtype=names[tag[0]],
+                               transformer_dtype=names[tag[1]],
+                               decoder_dtype=names[tag[2]])
+            if use_pallas:
+                cfg = cfg.replace(
+                    swin=cfg.swin.replace(use_pallas=True),
+                    transformer=cfg.transformer.replace(use_pallas=True),
+                    decoder=cfg.decoder.replace(use_pallas=True))
+            precision = None
+        else:
+            # "float32" = true f32 ('highest', 6-pass MXU); "float32-high" =
+            # 3-pass bf16 ('high'); "float32-default" = f32 arrays at default
+            # matmul precision (single bf16 MXU pass); "float32-split3" = the
+            # manual 3-pass hi/lo split INSIDE the Pallas kernels
+            # (ops/precision.kdot — Mosaic cannot lower precision=HIGH) with
+            # ambient 'high' for the XLA parts (decoder convs, patch embed).
+            precision = {"float32": "highest", "float32-high": "high",
+                         "float32-split3": "high"}.get(dtype)
+            mmode = "split3" if dtype.endswith("-split3") else "native"
+            if mmode == "split3" and not use_pallas:
+                raise SystemExit(
+                    f"{point}: split3 lives in the Pallas kernels "
+                    "(ops/precision.py) — use float32-split3+pallas")
+            dtype = (dtype.replace("-default", "").replace("-high", "")
+                     .replace("-split3", ""))
+            cfg = base.replace(compute_dtype=dtype)
+            if use_pallas:
+                cfg = cfg.replace(
+                    swin=cfg.swin.replace(use_pallas=True, matmul_mode=mmode),
+                    transformer=cfg.transformer.replace(use_pallas=True,
+                                                        matmul_mode=mmode),
+                    decoder=cfg.decoder.replace(use_pallas=True,
+                                                matmul_mode=mmode))
 
         @jax.jit
         def stylize(p, c, s, cfg=cfg, precision=precision):

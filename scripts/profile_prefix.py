@@ -54,18 +54,38 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "float32"])
+    ap.add_argument("--matmul_mode", default="native",
+                    choices=["native", "split3"],
+                    help="split3 = the compliant 3-pass in-kernel mode "
+                         "(sets ambient 'high' for the XLA parts)")
+    ap.add_argument("--precision", default=None,
+                    choices=["default", "high", "highest"],
+                    help="ambient jax.default_matmul_precision (f32 points: "
+                         "'highest' = the recorded f32+pallas point)")
+    ap.add_argument("--no-pallas", dest="pallas", action="store_false",
+                    default=True, help="profile the XLA path")
     args = ap.parse_args()
 
-    base = ModelConfig(compute_dtype="bfloat16")
-    cfg = base.replace(swin=base.swin.replace(use_pallas=True),
-                       transformer=base.transformer.replace(use_pallas=True),
-                       decoder=base.decoder.replace(use_pallas=True))
+    if args.matmul_mode == "split3":
+        jax.config.update("jax_default_matmul_precision", "high")
+    elif args.precision:
+        jax.config.update("jax_default_matmul_precision", args.precision)
+
+    base = ModelConfig(compute_dtype=args.dtype)
+    cfg = base.replace(
+        swin=base.swin.replace(use_pallas=args.pallas,
+                               matmul_mode=args.matmul_mode),
+        transformer=base.transformer.replace(use_pallas=args.pallas,
+                                             matmul_mode=args.matmul_mode),
+        decoder=base.decoder.replace(use_pallas=args.pallas,
+                                     matmul_mode=args.matmul_mode))
     params = init_master_model(jax.random.PRNGKey(0), cfg)
     b, s = args.batch, args.size
-    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3),
-                                 jnp.bfloat16)
-    style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3),
-                               jnp.bfloat16)
+    dt_ = jnp.dtype(args.dtype)
+    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3), dt_)
+    style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3), dt_)
 
     def p_swin(params, c, st):
         both = jnp.concatenate([c, st], axis=0)

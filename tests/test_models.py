@@ -1,6 +1,8 @@
 """Model-level shape/behavior tests: swin backbone, style transformer, CNN
 decoder, full master model."""
 
+import json
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -85,6 +87,42 @@ def test_master_model_train_mode_stochastic():
     t2 = master_apply(params, c, s, cfg, k=1, deterministic=False,
                       rng=jax.random.PRNGKey(4))
     assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+def test_mixed_precision_stage_policy():
+    """Per-stage dtype overrides (ModelConfig.{swin,transformer,decoder}_dtype,
+    r4 mixed-precision operating points): all-f32 overrides match the plain
+    f32 path exactly, a mixed assignment runs end-to-end and tracks the f32
+    output at bf16-rounding error, and stage_dtype falls back to
+    compute_dtype when unset."""
+    cfg = ModelConfig()
+    assert cfg.stage_dtype("swin") == "float32"
+    assert cfg.replace(compute_dtype="bfloat16").stage_dtype("decoder") == \
+        "bfloat16"
+    assert cfg.replace(transformer_dtype="bfloat16").stage_dtype(
+        "transformer") == "bfloat16"
+
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    c = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    s = jax.random.uniform(jax.random.PRNGKey(2), (1, 64, 64, 3))
+    base = np.asarray(master_apply(params, c, s, cfg, k=1))
+
+    all_f32 = cfg.replace(swin_dtype="float32", transformer_dtype="float32",
+                          decoder_dtype="float32")
+    np.testing.assert_allclose(
+        np.asarray(master_apply(params, c, s, all_f32, k=1)), base,
+        rtol=0, atol=5e-6)
+
+    mixed = cfg.replace(swin_dtype="bfloat16", transformer_dtype="float32",
+                        decoder_dtype="float32")
+    out = np.asarray(master_apply(params, c, s, mixed, k=1))
+    assert out.dtype == np.float32
+    err = np.mean(np.abs(out - base))
+    assert 0 < err < 0.2, err  # ran bf16 somewhere, still sane
+
+    # JSON round-trip preserves the policy (config snapshots in exp dirs)
+    rt = ModelConfig.from_dict(json.loads(mixed.to_json()))
+    assert rt == mixed
 
 
 def test_swin_variants():
