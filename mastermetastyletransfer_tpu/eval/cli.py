@@ -112,7 +112,14 @@ def main(argv=None):
         style_batch=args.style_batch,
         compute_similarity=args.compute_similarity,
         save_images_to=args.save_images_to)
-    print(json.dumps(report.summary(), indent=2))
+    summary = dict(report.summary())
+    # In-band provenance (VERDICT r3 task 7): without trained weights these
+    # numbers exercise the harness, they do NOT reproduce the paper's
+    # goals.txt losses — say so in the artifact itself.
+    summary["weights"] = (args.checkpoint if args.checkpoint else
+                          "RANDOM-INIT (PRNGKey(0)) — harness golden only; "
+                          "NOT comparable to the reference goals.txt values")
+    print(json.dumps(summary, indent=2))
 
 
 if __name__ == "__main__":
