@@ -14,6 +14,22 @@ the halo exchanges (collective-permutes over ICI) for jnp.roll / window
 reshapes automatically — the TPU-idiomatic replacement for hand-written
 NCCL halo code. A hybrid ("data", "space") mesh composes batch and spatial
 sharding for batched high-res serving.
+
+MEASURED DISTRIBUTION STATUS (r4, 8-device CPU mesh, compile-only audit in
+tests/test_distribution.py): GSPMD distributes this model PARTIALLY.
+  - decoder plain path (fuse_upsample=False): true scaling — per-device
+    temp 0.19x single-device, halo collective-permutes, zero all-gathers
+    (make_spatial_stylize swaps it in via sharded_decoder=True).
+  - swin / style transformer: the window-partition reshapes (H -> H/7 x 7)
+    defeat sharding propagation; GSPMD keeps large replicated temps
+    (swin 0.50x single at window-aligned sizes, 0.74x at 512^2 where the
+    8-way row split crosses window boundaries; full model 0.76x). Output
+    and input stay properly sharded and the halo collective-permutes for
+    the shifted phase ARE emitted, but per-device PEAK MEMORY does not
+    scale ~1/n for these stages yet. A shard_map band-owned window
+    implementation with explicit ppermute halos is the planned fix; the
+    thresholds in tests/test_distribution.py pin today's status and must
+    be tightened when it lands.
 """
 
 from __future__ import annotations
@@ -37,13 +53,24 @@ def make_hybrid_mesh(data: int, space: int) -> Mesh:
 
 def make_spatial_stylize(cfg: ModelConfig, mesh: Mesh, *, k: int = 1,
                          data_axis: Optional[str] = None,
-                         space_axis: str = "space"):
+                         space_axis: str = "space",
+                         sharded_decoder: bool = True):
     """Jitted stylize with images sharded over H (and optionally batch).
 
     Params replicate (the model is ~7M params — replication is free next to
     the activation footprint at 1024^2: a (B,128,128,256) fp32 feature map is
     16 MB/image while params are 28 MB total).
+
+    sharded_decoder (default True) swaps the decoder to its plain
+    resize+conv formulation — EXACT same math as the phase-space fusion
+    (ops/conv.py docstring), but GSPMD shards it to 0.19x single-device
+    temp where the phase path's interleave reshapes hold 0.40x replicated
+    temps (tests/test_distribution.py). The phase path is the right choice
+    on ONE chip; under a spatial mesh, shardability wins.
     """
+    if sharded_decoder:
+        cfg = cfg.replace(decoder=cfg.decoder.replace(
+            fuse_upsample=False, use_stencil_conv=False, use_pallas=False))
     img_spec = P(data_axis, space_axis, None, None)
     img_s = NamedSharding(mesh, img_spec)
     rep = NamedSharding(mesh, P())
