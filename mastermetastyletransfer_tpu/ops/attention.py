@@ -170,6 +170,13 @@ def _pallas_eval_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
     return cfg.use_pallas and deterministic and _pallas_dim_ok(cfg.dim)
 
 
+def _rows_resident_on() -> bool:
+    """Row-resident whole-block kernel gate (r4): default ON; set
+    MMST_ROWS_RESIDENT=0 to A/B the per-window-tile + XLA-geometry path."""
+    import os
+    return os.environ.get("MMST_ROWS_RESIDENT", "1") != "0"
+
+
 def _pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -243,14 +250,43 @@ def fused_self_attention_block(block_params: dict, x_in: jnp.ndarray,
     it are treated as padding even if they hold garbage.
     """
     from mastermetastyletransfer_tpu.ops.pallas_attention import (
-        fused_window_block,
+        fused_window_block, fused_window_block_rows,
     )
-    from mastermetastyletransfer_tpu.ops.windows import valid_token_mask
+    from mastermetastyletransfer_tpu.ops.windows import (
+        effective_shift, pad_to_windows, valid_token_mask,
+    )
 
-    (xw,), geom = _prepare([x_in], cfg.window_size, cfg.shift_size)
     wh, ww = cfg.window_size
     attn = block_params["attn"]
     bias = relative_position_bias(attn["rel_bias_table"], wh, ww)
+
+    if _rows_resident_on():
+        # Row-resident path (r4): the kernel reads the padded (B, Hp, Wp, C)
+        # image directly (roll folded into its row index maps) and writes
+        # plain rows back in the rolled frame — no partition/merge HBM
+        # round trips (reference geometry: codes/style_transformer.py:77-111).
+        b, h, w, _ = x_in.shape
+        xp, pad_h, pad_w = pad_to_windows(x_in, wh, ww)
+        sh, sw = effective_shift(pad_h, pad_w, cfg.window_size,
+                                 cfg.shift_size)
+        mask = None
+        if sh or sw:
+            mask = shift_attention_mask(pad_h, pad_w, wh, ww, sh, sw)
+        vh, vw = valid_hw if valid_hw is not None else (h, w)
+        padmask = valid_token_mask(vh, vw, pad_h, pad_w, wh, ww, sh, sw)
+        out = fused_window_block_rows(
+            attn, xp, bias, mask, cfg.num_heads,
+            block_params["mlp"],
+            block_params.get("norm2") if use_norm else None,
+            block_params.get("norm1") if use_norm else None,
+            padmask,
+            window=cfg.window_size, shift=(sh, sw),
+            interpret=_pallas_interpret())
+        if sh or sw:
+            out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+        return out[:, :h, :w, :]
+
+    (xw,), geom = _prepare([x_in], cfg.window_size, cfg.shift_size)
     mask = None
     if geom["sh"] or geom["sw"]:
         mask = shift_attention_mask(

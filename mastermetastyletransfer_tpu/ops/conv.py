@@ -219,6 +219,181 @@ def phase_conv3x3(params: dict, p: jnp.ndarray, *, relu: bool = True,
     return phase_interleave(out) if interleave else out
 
 
+# ---------------------------------------------------------------------------
+# Double-phase (L2) tail (r4): the decoder's last three convs run where the
+# fine grid is 256^2-512^2 at 32/3 channels — XLA convs at those lane counts
+# measured 1.1-3.2 ms each (scripts/probe_decoder.py). Keeping the data in a
+# SECOND phase level (spatial 128^2, lanes 16x) turns them into wide GEMM
+# stencils: conv7 (up 256->512 + 3x3) consumes the L1 phase tensor directly,
+# conv8 (3x3 at 512^2) runs entirely in L2 phase space; the 512^2x3 fine grid
+# materializes exactly once, at the final interleave.
+# Reference semantics: codes/decoder.py:23-55 (last upsample + convs 8/9).
+# ---------------------------------------------------------------------------
+
+def _phase2_axis_slots(a: int, up: bool):
+    """Tap structure along one axis for output L2 phase a (fine row 4i+a).
+
+    Returns (base, slots) where slots maps (dy in {0,1}, in_phase) -> list of
+    original 3x3 tap indices (0..2), and `base` is the PADDED-input row offset
+    of the 2-row window (input edge-padded by one coarse row): output (i, a)
+    reads padded rows i+base+dy.
+
+    up=True: the input is the L1 phase tensor of the pre-upsample coarse
+    grid (phase pairs over the half-resolution grid); nearest-2x maps fine
+    tap t=4i+a+d to half-grid row 2i + (a+d)//2, i.e. L1 row offset
+    u=(a+d)//2 -> (coarse u//2, phase u%2).
+    up=False: plain 3x3 at the fine grid; tap t -> (coarse (a+d)//4,
+    phase (a+d)%4)."""
+    slots: dict = {}
+    deltas = []
+    for d in (-1, 0, 1):
+        t = a + d
+        if up:
+            u = t // 2
+            delta, ph = u // 2, u % 2
+        else:
+            delta, ph = t // 4, t % 4
+        deltas.append(delta)
+        slots.setdefault((delta, ph), []).append(1 + d)
+    base = min(deltas)
+    assert max(deltas) - base <= 1, (a, up, deltas)
+    # re-key by dy relative to the window base, shifted into padded coords
+    out = {(delta - base, ph): taps for (delta, ph), taps in slots.items()}
+    return base + 1, out
+
+
+def _phase2_kernel(w: jnp.ndarray, up: bool):
+    """Compose a (3,3,C,C') fine kernel into the L2 phase-space 2x2-tap
+    kernel: (2, 2, nin^2*C, 16*C') with nin=2 (up: L1 phase input) or 4
+    (plain: L2 phase input). Also returns the per-output-phase align bases
+    (same list for rows and columns by symmetry)."""
+    c, c_out = w.shape[2], w.shape[3]
+    nin = 2 if up else 4
+    k = jnp.zeros((2, 2, nin * nin * c, 16 * c_out), w.dtype)
+    bases = []
+    ax = [_phase2_axis_slots(a, up) for a in range(4)]
+    for a in range(4):
+        bases.append(ax[a][0])
+    for a in range(4):
+        _, rslots = ax[a]
+        for b in range(4):
+            _, cslots = ax[b]
+            out_sl = slice((4 * a + b) * c_out, (4 * a + b + 1) * c_out)
+            for (dy, pr), taps_r in rslots.items():
+                for (dx, pc), taps_c in cslots.items():
+                    in_sl = slice((nin * pr + pc) * c,
+                                  (nin * pr + pc + 1) * c)
+                    acc = None
+                    for ty in taps_r:
+                        for tx in taps_c:
+                            t = w[ty, tx]
+                            acc = t if acc is None else acc + t
+                    k = k.at[dy, dx, in_sl, out_sl].add(acc)
+    return k, bases
+
+
+def _phase2_pad(x: jnp.ndarray, nph: int, c: int, up: bool) -> jnp.ndarray:
+    """Edge-pad one coarse row/col on each side of a phase tensor
+    (B, H, W, nph^2*C) such that the padded values equal the FINE-grid
+    reflect padding the reference applies (codes/decoder.py:24):
+
+    up=True (L1 phase of a pre-upsample grid): fine reflect-pad of the
+    upsampled map == replicate at the half grid; padded row -1 carries
+    half rows {-2, -1} -> both clamp to half row 0 = (coarse 0, phase 0);
+    padded row H carries half rows {2H, 2H+1} -> clamp to (H-1, phase 1).
+
+    up=False (L2 phase of the fine grid itself): padded row -1 phase g is
+    fine row g-4, reflect -> fine 4-g -> (coarse (4-g)//4, phase (4-g)%4);
+    padded row H phase g is fine 4H+g, reflect -> fine 4H-2-g ->
+    (coarse H-1-(g==3), phase (2-g)%4)."""
+    b, h, w, _ = x.shape
+    x6 = x.reshape(b, h, w, nph, nph, c)
+
+    def pad_axis(x6, axis):
+        # maps: list per slot phase -> (coarse index, source phase)
+        if up:
+            top = [(0, 0)] * nph
+            bot = [(-1, 1)] * nph
+        else:
+            top = [((4 - g) // 4, (4 - g) % 4) for g in range(4)]
+            bot = [(h - 1 - (1 if g == 3 else 0) - (h - 1),
+                    (2 - g) % 4) for g in range(4)]
+            # bot holds offsets relative to the last row (0 or -1)
+        ph_axis = 3 if axis == 1 else 4
+        sp_take = (lambda t, i: t[:, i]) if axis == 1 else \
+                  (lambda t, i: t[:, :, i])
+
+        tops, bots = [], []
+        for g in range(nph):
+            ti, tp = top[g]
+            tops.append(jnp.take(sp_take(x6, ti), tp, axis=ph_axis - 1))
+            bi, bp = bot[g]
+            bots.append(jnp.take(sp_take(x6, (h if axis == 1 else w) - 1 + bi
+                                         if not up else bi),
+                                 bp, axis=ph_axis - 1))
+        trow = jnp.stack(tops, axis=ph_axis - 1)
+        brow = jnp.stack(bots, axis=ph_axis - 1)
+        return jnp.concatenate(
+            [jnp.expand_dims(trow, axis), x6, jnp.expand_dims(brow, axis)],
+            axis=axis)
+
+    x6 = pad_axis(x6, 1)
+    x6 = pad_axis(x6, 2)
+    hp, wp = x6.shape[1], x6.shape[2]
+    return x6.reshape(b, hp, wp, nph * nph * c)
+
+
+def _align2(big: jnp.ndarray, h: int, w: int, c_out: int,
+            bases) -> jnp.ndarray:
+    """Generalized phase align: big (B, H+1, W+1, 16*C') VALID-conv output
+    -> (B, H, W, 16*C'); group (a, b) takes the window at
+    (bases[a], bases[b])."""
+    subs = [big[:, bases[a]:bases[a] + h, bases[b]:bases[b] + w,
+                (4 * a + b) * c_out:(4 * a + b + 1) * c_out]
+            for a in range(4) for b in range(4)]
+    return jnp.concatenate(subs, axis=-1)
+
+
+def phase_interleave2(p: jnp.ndarray) -> jnp.ndarray:
+    """L2 phase tensor (B, H, W, 16*C) with group order (4a+b)*C -> fine
+    grid (B, 4H, 4W, C)."""
+    b, h, w, c16 = p.shape
+    c = c16 // 16
+    x = p.reshape(b, h, w, 4, 4, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, c)
+
+
+def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
+                   relu: bool = True, interleave: bool = False,
+                   use_pallas: bool = False) -> jnp.ndarray:
+    """Exact fine-grid [upsample-2x ->] reflect-pad -> 3x3 conv evaluated in
+    DOUBLE phase space. p: L1 phase tensor (B, H, W, 4C) when up, else L2
+    (B, H, W, 16C). Returns the L2 phase tensor (B, H, W, 16*C_out), or the
+    (B, 4H, 4W, C_out) fine grid when `interleave`."""
+    b, h, w, _ = p.shape
+    wk = params["kernel"]
+    c_in, c_out = wk.shape[2], wk.shape[3]
+    k2, bases = _phase2_kernel(wk.astype(jnp.float32), up)
+    k2 = k2.astype(p.dtype)
+    pp = _phase2_pad(p, 2 if up else 4, c_in, up)
+    if use_pallas and c_out % 8 == 0 and (pp.shape[-1]) % 128 == 0:
+        from mastermetastyletransfer_tpu.ops.pallas_conv import (
+            stencil_phase2_conv,
+        )
+        interpret = jax.default_backend() != "tpu"
+        out = stencil_phase2_conv(pp, k2, jnp.tile(params["bias"], 16),
+                                  tuple(bases), relu, interpret)
+    else:
+        big = lax.conv_general_dilated(
+            pp, k2, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        big = big + jnp.tile(params["bias"], 16).astype(big.dtype)
+        if relu:
+            big = jnp.maximum(big, 0)
+        out = _align2(big, h, w, c_out, bases)
+    return phase_interleave2(out) if interleave else out
+
+
 def upsample_conv_fused(params: dict, x: jnp.ndarray, *,
                         relu: bool = True,
                         keep_phase: bool = False,

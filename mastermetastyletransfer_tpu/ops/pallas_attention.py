@@ -384,29 +384,26 @@ def fused_window_attention_dual(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     return _untile(sigma, nw, n), _untile(mu, nw, n)
 
 
-def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
-                     bias_ref, mask_ref,
-                     n1s_ref, n1b_ref, pm_ref,
-                     n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
-                     out_ref, *, heads: int, scale: float, use_norm1: bool,
-                     use_padmask: bool, use_norm2: bool, bsub: int,
-                     eps: float = 1e-5):
-    """Whole transformer block with a PER-WINDOW batched attention core:
-    x block (BSUB, 1, TW, N, C); logits/softmax run as (BSUB*TW, N, N)
-    batched blocks — exactly the valid window pairs, no TWN^2 dense tile,
-    no block-diagonal mask/bias expansion (bias stays (H, N, N) resident,
-    mask is the raw (nW_pad, N, N) shift mask sliced per tile). The freed
-    VMEM doubles BSUB, widening the projection/MLP GEMMs."""
+def _block_compute(x_raw, mask_block, pm_block,
+                   wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                   n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+                   f1w_ref, f1b_ref, f2w_ref, f2b_ref, *,
+                   heads: int, scale: float, use_norm1: bool,
+                   use_padmask: bool, use_norm2: bool, bsub: int,
+                   tw: int, n: int, eps: float = 1e-5):
+    """Whole-block math on window-major rows (shared by the per-window-tile
+    and row-resident kernels): norm1 -> QKV proj -> per-window batched
+    attention core -> +res -> [norm2 ->] MLP -> +res. x_raw (bsub*tw*n, C),
+    mask_block (tw, n, n), pm_block (tw*n, 1) or None."""
     from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
 
     f32 = jnp.float32
-    dt = x_ref.dtype
-    _, _, tw, n, c = x_ref.shape
+    dt = x_raw.dtype
+    c = x_raw.shape[-1]
     rows = bsub * tw * n
     nb = bsub * tw
     dh = c // heads
 
-    x_raw = x_ref[:, 0].reshape(rows, c)
     if use_norm1:
         xf = x_raw.astype(f32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -417,7 +414,7 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     else:
         ln = x_raw
     if use_padmask:
-        pm = pm_ref[0].reshape(tw * n, 1).astype(dt)
+        pm = pm_block.astype(dt)
         if bsub > 1:
             pm = jnp.concatenate([pm] * bsub, axis=0)
         ln = ln * pm
@@ -427,7 +424,7 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     k3 = qkv[:, c:2 * c].reshape(nb, n, c)
     v3 = qkv[:, 2 * c:].reshape(nb, n, c)
 
-    m = mask_ref[0].astype(f32)                    # (TW, N, N)
+    m = mask_block.astype(f32)                     # (TW, N, N)
     mt = jnp.concatenate([m] * bsub, axis=0) if bsub > 1 else m
 
     o_heads = []
@@ -456,7 +453,179 @@ def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
     h2 = kdot(h2.astype(dt), f1w_ref[:].astype(dt)) + f1b_ref[0].astype(f32)
     h2 = 0.5 * h2 * (1.0 + _erf(h2 * (0.5 ** 0.5)))
     h2 = kdot(h2.astype(dt), f2w_ref[:].astype(dt)) + f2b_ref[0].astype(f32)
-    out_ref[:, 0] = (y + h2).reshape(bsub, tw, n, c).astype(out_ref.dtype)
+    return y + h2
+
+
+def _kernel_block_pw(x_ref, wqkv_ref, bqkv_ref, wp_ref, bp_ref,
+                     bias_ref, mask_ref,
+                     n1s_ref, n1b_ref, pm_ref,
+                     n2s_ref, n2b_ref, f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                     out_ref, *, heads: int, scale: float, use_norm1: bool,
+                     use_padmask: bool, use_norm2: bool, bsub: int):
+    """Whole transformer block with a PER-WINDOW batched attention core:
+    x block (BSUB, 1, TW, N, C); logits/softmax run as (BSUB*TW, N, N)
+    batched blocks — exactly the valid window pairs, no TWN^2 dense tile,
+    no block-diagonal mask/bias expansion (bias stays (H, N, N) resident,
+    mask is the raw (nW_pad, N, N) shift mask sliced per tile). The freed
+    VMEM doubles BSUB, widening the projection/MLP GEMMs."""
+    _, _, tw, n, c = x_ref.shape
+    x_raw = x_ref[:, 0].reshape(bsub * tw * n, c)
+    pm = pm_ref[0].reshape(tw * n, 1) if use_padmask else None
+    y = _block_compute(x_raw, mask_ref[0], pm,
+                       wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                       n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+                       f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                       heads=heads, scale=scale, use_norm1=use_norm1,
+                       use_padmask=use_padmask, use_norm2=use_norm2,
+                       bsub=bsub, tw=tw, n=n)
+    out_ref[:, 0] = y.reshape(bsub, tw, n, c).astype(out_ref.dtype)
+
+
+def _kernel_block_rows(*refs, heads: int, scale: float, use_norm1: bool,
+                       use_padmask: bool, use_norm2: bool, bsub: int,
+                       wh: int, ww: int, sw: int):
+    """Row-resident whole-block kernel (r4): the grid walks WINDOW-ROWS of
+    the padded (B, Hp, Wp, C) image; the cyclic-roll + window-partition
+    geometry (reference codes/style_transformer.py:98-111) never touches
+    HBM. The H-direction roll rides the wh single-row input operands'
+    index maps ((r*wh + j + sh) % Hp — block-index arithmetic); the
+    W-direction roll and the row-major -> window-major relayout are in-VMEM
+    concat/transpose (probed supported + exact: scripts/probe_rowview.py).
+    Output is written back as wh plain rows in the ROLLED frame; the caller
+    un-rolls once per shifted block (one XLA roll instead of
+    merge+unroll+partition round trips)."""
+    row_refs = refs[:wh]
+    (wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref, mask_ref,
+     n1s_ref, n1b_ref, pm_ref, n2s_ref, n2b_ref,
+     f1w_ref, f1b_ref, f2w_ref, f2b_ref, out_ref) = refs[wh:]
+
+    c = row_refs[0].shape[-1]
+    wp = row_refs[0].shape[2]
+    nww = wp // ww
+    n = wh * ww
+
+    rows = jnp.concatenate([r[:, 0:1] for r in row_refs], axis=1)
+    if sw:
+        rows = jnp.concatenate([rows[:, :, sw:], rows[:, :, :sw]], axis=2)
+    x4 = rows.reshape(bsub, wh, nww, ww, c).transpose(0, 2, 1, 3, 4)
+    x_raw = x4.reshape(bsub * nww * n, c)
+    pm = pm_ref[0].reshape(nww * n, 1) if use_padmask else None
+    y = _block_compute(x_raw, mask_ref[0], pm,
+                       wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                       n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+                       f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                       heads=heads, scale=scale, use_norm1=use_norm1,
+                       use_padmask=use_padmask, use_norm2=use_norm2,
+                       bsub=bsub, tw=nww, n=n)
+    y4 = y.reshape(bsub, nww, wh, ww, c).transpose(0, 2, 1, 3, 4)
+    out_ref[:] = y4.reshape(bsub, wh, wp, c).astype(out_ref.dtype)
+
+
+def fused_window_block_rows(params: dict, x: jnp.ndarray,
+                            bias: jnp.ndarray, mask: Optional[jnp.ndarray],
+                            heads: int, mlp_params: dict,
+                            norm2: Optional[dict],
+                            norm1: Optional[dict] = None,
+                            padmask: Optional[np.ndarray] = None, *,
+                            window: Tuple[int, int] = (7, 7),
+                            shift: Tuple[int, int] = (0, 0),
+                            interpret: bool = False) -> jnp.ndarray:
+    """Row-resident fused transformer block: x (B, Hp, Wp, C) already padded
+    to window multiples -> same-shape output in the ROLLED frame (callers
+    apply jnp.roll(+sh, +sw) once for shifted blocks; unshifted blocks come
+    back in the plain frame). Replaces the pad/roll/partition ...
+    merge/unroll XLA geometry around fused_window_block.
+
+    mask: raw (nW, N, N) shift mask or None; padmask: (nW, N) validity or
+    None — both in the window order of the ROLLED grid (same arrays the
+    per-window-tile path uses)."""
+    b, hp, wp, c = x.shape
+    wh, ww = window
+    sh, sw = shift
+    assert hp % wh == 0 and wp % ww == 0, (hp, wp, window)
+    nwh, nww = hp // wh, wp // ww
+    n = wh * ww
+    twn = nww * n
+
+    bsub = _pick_bsub(b, c, twn, budget=262144, itemsize=x.dtype.itemsize)
+
+    mask_r = np.zeros((nwh, nww, n, n), np.float32)
+    if mask is not None:
+        mask_r[:] = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
+    mask_r = jnp.asarray(mask_r, jnp.bfloat16)
+    use_padmask = padmask is not None and float(np.min(padmask)) < 1.0
+    if use_padmask:
+        pm3 = jnp.asarray(np.asarray(padmask, np.float32).reshape(
+            nwh, nww * n, 1))
+    else:
+        pm3 = jnp.zeros((nwh, twn, 1), jnp.float32)
+
+    w1, b1, w2, b2, hidden = _mlp_weights(mlp_params, c, x.dtype)
+    n2s = (norm2["scale"].reshape(1, c) if norm2 is not None
+           else jnp.ones((1, c), x.dtype))
+    n2b = (norm2["bias"].reshape(1, c) if norm2 is not None
+           else jnp.zeros((1, c), x.dtype))
+    n1s = (norm1["scale"].reshape(1, c) if norm1 is not None
+           else jnp.ones((1, c), x.dtype))
+    n1b = (norm1["bias"].reshape(1, c) if norm1 is not None
+           else jnp.zeros((1, c), x.dtype))
+
+    wqkv = jnp.concatenate([_linw(params, "wq"), _linw(params, "wk"),
+                            _linw(params, "wv")], axis=1)
+    bqkv = jnp.concatenate([_linb(params, "wq", c, x.dtype),
+                            _linb(params, "wk", c, x.dtype),
+                            _linb(params, "wv", c, x.dtype)], axis=1)
+
+    def row_spec(j):
+        def imap(r, i, j=j):
+            return (i, (r * wh + j + sh) % hp, 0, 0)
+        return pl.BlockSpec((bsub, 1, wp, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    wmat = pl.BlockSpec((c, c), lambda r, i: (0, 0), memory_space=pltpu.VMEM)
+    wvec = pl.BlockSpec((1, c), lambda r, i: (0, 0), memory_space=pltpu.VMEM)
+    w3mat = pl.BlockSpec((c, 3 * c), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    w3vec = pl.BlockSpec((1, 3 * c), lambda r, i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    hmat = pl.BlockSpec((c, hidden), lambda r, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), lambda r, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), lambda r, i: (0, 0),
+                        memory_space=pltpu.VMEM)
+    rbias = pl.BlockSpec((heads, n, n), lambda r, i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, nww, n, n), lambda r, i: (r, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pmspec = pl.BlockSpec((1, twn, 1), lambda r, i: (r, 0, 0),
+                          memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((bsub, wh, wp, c), lambda r, i: (i, r, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel_block_rows, heads=heads,
+                             scale=(c // heads) ** -0.5,
+                             use_norm1=norm1 is not None,
+                             use_padmask=use_padmask,
+                             use_norm2=norm2 is not None,
+                             bsub=bsub, wh=wh, ww=ww, sw=sw)
+    return pl.pallas_call(
+        kern,
+        grid=(nwh, b // bsub),
+        in_specs=[row_spec(j) for j in range(wh)] + [
+            w3mat, w3vec, wmat, wvec,
+            rbias, mspec,
+            wvec, wvec, pmspec,
+            wvec, wvec, hmat, hvec, hmat_t, wvec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        interpret=interpret,
+    )(*([x] * wh),
+      wqkv, bqkv,
+      _linw(params, "proj"), _linb(params, "proj", c, x.dtype),
+      bias, mask_r,
+      n1s, n1b, pm3,
+      n2s, n2b, w1, b1, w2, b2)
 
 
 def fused_window_block(params: dict, x: jnp.ndarray,
