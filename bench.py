@@ -54,6 +54,9 @@ def _build_cfg(args):
     if getattr(args, "stencil", None) is not None:
         cfg = cfg.replace(
             decoder=cfg.decoder.replace(use_stencil_conv=args.stencil))
+    if getattr(args, "phase2", None) is not None:
+        cfg = cfg.replace(
+            decoder=cfg.decoder.replace(phase2_tail=args.phase2))
     if args.matmul_mode != "native":
         cfg = cfg.replace(
             swin=cfg.swin.replace(matmul_mode=args.matmul_mode),
@@ -413,6 +416,11 @@ def main():
     ap.add_argument("--phase_exit", type=int, default=None,
                     help="decoder conv index that leaves phase space "
                          "(A/B knob; default = config)")
+    ap.add_argument("--phase2", action=argparse.BooleanOptionalAction,
+                    default=None,
+                    help="force the decoder double-phase (L2) tail on/off "
+                         "(--phase2 / --no-phase2); default follows "
+                         "DecoderConfig.phase2_tail (on)")
     ap.add_argument("--stencil", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="force the decoder stencil-GEMM kernel on/off "

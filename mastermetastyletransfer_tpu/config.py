@@ -211,6 +211,13 @@ class DecoderConfig(_ConfigBase):
     # (PERF.md A/B table) — on by default; gated to even tile heights and
     # 128-lane inputs, exact either way.
     use_stencil_conv: bool = True
+    # Double-phase (L2) tail (r4): the final upsample->conv and the RGB conv
+    # run in a SECOND phase level (spatial stays at the pre-upsample grid,
+    # lanes grow 16x), so the 256^2-512^2 fine grids at 32/3 channels — the
+    # decoder's three most expensive convs (scripts/probe_decoder.py) —
+    # become wide GEMM stencils; the fine RGB grid materializes exactly
+    # once at the final interleave. Exact (tests/test_ops.py phase2 parity).
+    phase2_tail: bool = True
 
 
 @dataclass(frozen=True)

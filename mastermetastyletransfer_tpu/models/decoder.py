@@ -13,8 +13,8 @@ import jax.numpy as jnp
 
 from mastermetastyletransfer_tpu.config import DecoderConfig
 from mastermetastyletransfer_tpu.ops.conv import (
-    init_conv, phase_conv3x3, phase_interleave, reflect_conv,
-    upsample_conv_fused, upsample_nearest,
+    init_conv, phase2_conv3x3, phase_conv3x3, phase_interleave,
+    phase_interleave2, reflect_conv, upsample_conv_fused, upsample_nearest,
 )
 from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
 
@@ -42,7 +42,8 @@ def init_cnn_decoder(key, cfg: DecoderConfig) -> dict:
 
 
 @applies_matmul_mode
-def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.ndarray:
+def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
+                      upto: int | None = None) -> jnp.ndarray:
     """NHWC features (B, H/8, W/8, C) -> RGB (B, H, W, 3). The final conv has
     no activation (reference: codes/decoder.py:54).
 
@@ -50,18 +51,27 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
     (ops/conv.py): each upsample->pad->conv pair is one exact coarse-grid
     phase conv, and the plain convs that follow stay phase-packed (4C lanes
     at 1/4 the spatial area) until the next upsample boundary or the final
-    RGB — the fine grid is only ever materialized at upsample boundaries and
-    for the 3-channel output. All transforms are exact (parity-tested)."""
+    RGB. With cfg.phase2_tail the LAST upsample enters a second phase level
+    instead of leaving — the tail convs run at the pre-upsample grid with
+    16x lanes and the full-res grid materializes exactly once, at the final
+    interleave. All transforms are exact (parity-tested).
+
+    upto: stop after conv `upto` and return the current (possibly phase)
+    tensor — profiling hook (scripts/probe_decoder.py)."""
     plan = _channel_plan(cfg.channel_dim)
     n = len(plan)
     pending_up = False   # previous conv was marked upsample-after
-    in_phase = False     # x is currently a phase tensor
+    level = 0            # phase level of x: 0 plain, 1 (2x2), 2 (4x4)
     for i, (_, _, up) in enumerate(plan):
+        if upto is not None and i > upto:
+            break
         relu = i < n - 1
         if not cfg.fuse_upsample or i >= cfg.phase_exit:
-            if in_phase:
+            if level == 2:
+                x = phase_interleave2(x)
+            elif level == 1:
                 x = phase_interleave(x)
-                in_phase = False
+            level = 0
             if pending_up:
                 x = upsample_nearest(x, 2)
                 pending_up = False
@@ -69,21 +79,39 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig) -> jnp.n
             if up:
                 x = upsample_nearest(x, 2)
             continue
-        if pending_up:
+        # does the NEXT conv consume this upsample inside phase-2 space?
+        phase2_next = (cfg.phase2_tail and up and i + 1 < n
+                       and i + 1 < cfg.phase_exit
+                       and not any(u2 for _, _, u2 in plan[i + 1:]))
+        if pending_up and level == 1:
+            # last upsample -> L2 phase up-conv (phase2_tail path)
+            x = phase2_conv3x3(params[f"conv{i}"], x, up=True, relu=relu,
+                               use_pallas=cfg.use_pallas
+                               and cfg.use_stencil_conv)
+            level = 2
+        elif pending_up:
             x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
                                     keep_phase=True,
                                     use_pallas=cfg.use_pallas,
                                     stencil=cfg.use_stencil_conv)
-            in_phase = True
-        elif in_phase:
-            # leave phase space at upsample boundaries (the next up-conv
-            # consumes a plain coarse grid) and for the final RGB
-            leave = up or i == n - 1
+            level = 1
+        elif level == 1:
+            # leave phase space at upsample boundaries (unless the next
+            # up-conv consumes the phase tensor directly at L2) and for
+            # the final RGB
+            leave = (up and not phase2_next) or i == n - 1
             x = phase_conv3x3(params[f"conv{i}"], x, relu=relu,
                               interleave=leave,
                               use_pallas=cfg.use_pallas,
                               stencil=cfg.use_stencil_conv)
-            in_phase = not leave
+            level = 0 if leave else 1
+        elif level == 2:
+            leave = i == n - 1
+            x = phase2_conv3x3(params[f"conv{i}"], x, up=False, relu=relu,
+                               interleave=leave,
+                               use_pallas=cfg.use_pallas
+                               and cfg.use_stencil_conv)
+            level = 0 if leave else 2
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)
         pending_up = up

@@ -376,13 +376,19 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
     k2, bases = _phase2_kernel(wk.astype(jnp.float32), up)
     k2 = k2.astype(p.dtype)
     pp = _phase2_pad(p, 2 if up else 4, c_in, up)
-    if use_pallas and c_out % 8 == 0 and (pp.shape[-1]) % 128 == 0:
+    if use_pallas and c_out % 32 == 0 and (pp.shape[-1]) % 128 == 0:
         from mastermetastyletransfer_tpu.ops.pallas_conv import (
             stencil_phase2_conv,
         )
+        # static block-sparsity of the composed kernel: per output phase
+        # each axis uses ONE input phase per tap row -> 36 of 64 tap GEMMs
+        ax = [_phase2_axis_slots(a, up) for a in range(4)]
+        dys = [sorted({dy for (dy, _ph) in slots}) for _, slots in ax]
+        present = tuple(tuple((dy, dx) for dy in dys[a] for dx in dys[b])
+                        for a in range(4) for b in range(4))
         interpret = jax.default_backend() != "tpu"
         out = stencil_phase2_conv(pp, k2, jnp.tile(params["bias"], 16),
-                                  tuple(bases), relu, interpret)
+                                  tuple(bases), present, relu, interpret)
     else:
         big = lax.conv_general_dilated(
             pp, k2, (1, 1), "VALID",

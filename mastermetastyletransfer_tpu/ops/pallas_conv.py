@@ -266,3 +266,135 @@ def _stencil_bwd(relu, interpret, res, g):
 
 
 stencil_phase_conv.defvjp(_stencil_fwd, _stencil_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Double-phase (L2) stencil conv (r4): same stencil-GEMM idea generalized to
+# 16 output phase groups with per-group align offsets taken from a static
+# base table (ops/conv.py:_phase2_kernel) instead of the (a, b) identity of
+# the single-level align. Zero weight blocks (the composed L2 kernel is
+# block-sparse: per output phase each axis uses ONE input phase per tap row)
+# are skipped, so the kernel runs the EXACT tap GEMMs — 36 of the dense 64.
+# Serves the decoder tail's up-conv (conv7: Cin=128, C'=32); the RGB conv's
+# 3-lane groups are below the 32-lane slice granularity and stay on XLA.
+# Reference semantics: codes/decoder.py:25-27 (last upsample + conv).
+# ---------------------------------------------------------------------------
+
+def _stencil2_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
+                     c_out: int, relu: bool, bases, present):
+    _, r, wp, cin = xm_ref.shape
+    w = wp - 2
+    rows = r * w
+    dt = xm_ref.dtype
+    f32 = jnp.float32
+    comb = jnp.concatenate([xm_ref[0], xt_ref[0]], axis=0)  # (r+2, wp, cin)
+    outs = []
+    for a in range(4):
+        for b in range(4):
+            sl = slice((4 * a + b) * c_out, (4 * a + b + 1) * c_out)
+            acc = None
+            for dy, dx in present[4 * a + b]:
+                v = comb[bases[a] + dy:bases[a] + dy + r,
+                         bases[b] + dx:bases[b] + dx + w, :].reshape(rows,
+                                                                     cin)
+                t = kdot(v, w_ref[dy, dx][:, sl].astype(dt))
+                acc = t if acc is None else acc + t
+            outs.append(acc)
+    y = jnp.concatenate(outs, axis=-1) + b_ref[0].astype(f32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[0] = y.reshape(r, w, 16 * c_out).astype(out_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def stencil_phase2_conv(pp: jnp.ndarray, pk: jnp.ndarray, bias16: jnp.ndarray,
+                        bases, present, relu: bool = True,
+                        interpret: bool = False) -> jnp.ndarray:
+    """pp: (B, H+2, W+2, Cin) custom-padded L1 phase input (ops/conv.py:
+    _phase2_pad). pk: (2, 2, Cin, 16*C') composed L2 kernel. bias16:
+    (16*C',). bases: per-output-phase align bases (len-4 tuple of 0/1).
+    present: per output group (4a+b) the static tuple of (dy, dx) taps whose
+    weight block is nonzero (the composed kernel is block-sparse — computed
+    from the phase tap structure in ops/conv.py, NOT from values: pk is a
+    tracer here). Returns the ALIGNED L2 phase tensor (B, H, W, 16*C').
+    Requires Cin % 128 == 0 and C' % 32 == 0."""
+    b, hp, wp, cin = pp.shape
+    h, w = hp - 2, wp - 2
+    c16 = pk.shape[-1]
+    c_out = c16 // 16
+    assert cin % 128 == 0 and c_out % 32 == 0, (cin, c_out)
+    r = _pick_r(h, wp, cin, c16 // 4, jnp.dtype(pp.dtype).itemsize)
+    if h % 2 or r % 2:
+        return _stencil2_xla_equiv(pp, pk, bias16, bases, relu, c_out)
+    mspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 2, wp, cin),
+                         lambda i, j, r=r: (i, (j * r + r) // 2, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(pk.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, c16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, r, w, c16), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stencil2_kernel, c_out=c_out, relu=relu,
+                          bases=tuple(bases), present=tuple(present)),
+        grid=(b, h // r),
+        in_specs=[mspec, tspec, wspec, bspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c16), pp.dtype),
+        interpret=interpret,
+    )(pp, pp, pk, bias16.reshape(1, c16))
+
+
+def _stencil2_xla_equiv(pp, pk, bias16, bases, relu: bool, c_out: int):
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    big = jax.lax.conv_general_dilated(
+        pp, pk.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    big = big + bias16.astype(big.dtype)
+    if relu:
+        big = jnp.maximum(big, 0)
+    subs = [big[:, bases[a]:bases[a] + h, bases[bb]:bases[bb] + w,
+                (4 * a + bb) * c_out:(4 * a + bb + 1) * c_out]
+            for a in range(4) for bb in range(4)]
+    return jnp.concatenate(subs, axis=-1)
+
+
+def _stencil2_fwd(pp, pk, bias16, bases, present, relu, interpret):
+    y = stencil_phase2_conv(pp, pk, bias16, bases, present, relu, interpret)
+    return y, (pp, pk, bias16, y)
+
+
+def _stencil2_bwd(bases, present, relu, interpret, res, g):
+    """Recompute-free backward (same structure as _stencil_bwd): ReLU mask
+    from the saved output, generalized-align transpose scatter, then conv
+    linear-transposes."""
+    pp, pk, bias16, y = res
+    c16 = pk.shape[-1]
+    c_out = c16 // 16
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    if relu:
+        g = g * (y > 0).astype(g.dtype)
+    d_big = jnp.zeros((b, h + 1, w + 1, c16), g.dtype)
+    for a in range(4):
+        for bb in range(4):
+            sl = slice((4 * a + bb) * c_out, (4 * a + bb + 1) * c_out)
+            d_big = d_big.at[:, bases[a]:bases[a] + h,
+                             bases[bb]:bases[bb] + w, sl].set(g[..., sl])
+    conv_pp = lambda t: jax.lax.conv_general_dilated(
+        t, pk.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    conv_pk = lambda t: jax.lax.conv_general_dilated(
+        pp, t.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    (d_pp,) = jax.linear_transpose(conv_pp, pp)(d_big.astype(pp.dtype))
+    (d_pk,) = jax.linear_transpose(conv_pk, pk)(d_big.astype(pp.dtype))
+    d_bias = d_big.astype(jnp.float32).sum((0, 1, 2)).astype(bias16.dtype)
+    return d_pp, d_pk.astype(pk.dtype), d_bias
+
+
+stencil_phase2_conv.defvjp(_stencil2_fwd, _stencil2_bwd)

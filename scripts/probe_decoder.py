@@ -38,10 +38,6 @@ from mastermetastyletransfer_tpu.config import DecoderConfig
 from mastermetastyletransfer_tpu.models.decoder import (
     _channel_plan, cnn_decoder_apply, init_cnn_decoder,
 )
-from mastermetastyletransfer_tpu.ops.conv import (
-    phase_conv3x3, phase_interleave, reflect_conv, upsample_conv_fused,
-    upsample_nearest,
-)
 
 
 def sync(x):
@@ -65,42 +61,7 @@ def timeit(fn, *args, iters=10, warmup=2, rounds=5):
 
 def decoder_prefix(params, x, cfg: DecoderConfig, upto: int):
     """cnn_decoder_apply truncated after conv `upto` (inclusive)."""
-    plan = _channel_plan(cfg.channel_dim)
-    n = len(plan)
-    pending_up = False
-    in_phase = False
-    for i, (_, _, up) in enumerate(plan):
-        if i > upto:
-            break
-        relu = i < n - 1
-        if not cfg.fuse_upsample or i >= cfg.phase_exit:
-            if in_phase:
-                x = phase_interleave(x)
-                in_phase = False
-            if pending_up:
-                x = upsample_nearest(x, 2)
-                pending_up = False
-            x = reflect_conv(params[f"conv{i}"], x, relu=relu)
-            if up:
-                x = upsample_nearest(x, 2)
-            continue
-        if pending_up:
-            x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
-                                    keep_phase=True,
-                                    use_pallas=cfg.use_pallas,
-                                    stencil=cfg.use_stencil_conv)
-            in_phase = True
-        elif in_phase:
-            leave = up or i == n - 1
-            x = phase_conv3x3(params[f"conv{i}"], x, relu=relu,
-                              interleave=leave,
-                              use_pallas=cfg.use_pallas,
-                              stencil=cfg.use_stencil_conv)
-            in_phase = not leave
-        else:
-            x = reflect_conv(params[f"conv{i}"], x, relu=relu)
-        pending_up = up
-    return x
+    return cnn_decoder_apply(params, x, cfg, upto=upto)
 
 
 def main():
@@ -109,6 +70,8 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--stencil", choices=["on", "off", "both"],
                     default="both")
+    ap.add_argument("--phase2", action="store_true",
+                    help="profile the double-phase tail decoder")
     args = ap.parse_args()
 
     g = args.size // 8
@@ -117,7 +80,8 @@ def main():
     modes = {"on": [True], "off": [False],
              "both": [True, False]}[args.stencil]
     for stencil in modes:
-        cfg = DecoderConfig(use_pallas=True, use_stencil_conv=stencil)
+        cfg = DecoderConfig(use_pallas=True, use_stencil_conv=stencil,
+                            phase2_tail=args.phase2)
         params = init_cnn_decoder(jax.random.PRNGKey(1), cfg)
         params = jax.tree_util.tree_map(
             lambda t: t.astype(jnp.bfloat16), params)
@@ -126,7 +90,8 @@ def main():
             f = jax.jit(lambda p, xx, u=upto, c=cfg: decoder_prefix(
                 p, xx, c, u))
             dt = timeit(f, params, x) * 1e3
-            print(json.dumps({"stencil": stencil, "prefix_conv": upto,
+            print(json.dumps({"stencil": stencil, "phase2": args.phase2,
+                              "prefix_conv": upto,
                               "ms": round(dt, 3),
                               "delta_ms": round(dt - prev, 3)}), flush=True)
             prev = dt

@@ -341,3 +341,65 @@ def test_stencil_phase_conv_exact_and_grad():
                     jax.tree_util.tree_leaves(g_pal)):
         denom = float(jnp.abs(a).max()) + 1e-9
         assert float(jnp.abs(a - b).max()) / denom < 5e-4
+
+
+def test_cnn_decoder_phase2_tail_exact_and_grad(rng):
+    """Double-phase (L2) tail (r4): the last upsample->conv and the RGB conv
+    evaluated in a second phase level — XLA path, Pallas stencil path
+    (interpret on CPU), and their gradients all match the plain
+    unfused composition (reference semantics codes/decoder.py:23-55)."""
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+
+    params = init_cnn_decoder(jax.random.PRNGKey(0), DecoderConfig())
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32)) * 0.1
+    ref_cfg = DecoderConfig(fuse_upsample=False)
+    ref = cnn_decoder_apply(params, x, ref_cfg)
+    for cfg in (DecoderConfig(phase2_tail=True),
+                DecoderConfig(phase2_tail=True, use_pallas=True)):
+        out = cnn_decoder_apply(params, x, cfg)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def loss(p, cfg):
+        return jnp.sum(jnp.square(cnn_decoder_apply(p, x, cfg)))
+
+    g_ref = jax.grad(loss)(params, ref_cfg)
+    g_p2 = jax.grad(loss)(params,
+                          DecoderConfig(phase2_tail=True, use_pallas=True))
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_p2)):
+        # different summation orders leave f32 roundoff on near-zero
+        # entries; bound the absolute error instead of relative there
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
+
+
+def test_phase2_kernels_vs_fine_grid(rng):
+    """The composed L2 kernels + custom reflect-equivalent pads are exact
+    against the fine-grid ground truth, borders included."""
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.ops.conv import (
+        init_conv, phase2_conv3x3, phase_interleave, phase_interleave2,
+        reflect_conv, upsample_nearest,
+    )
+
+    c, co, co2 = 32, 32, 3
+    p7 = init_conv(jax.random.PRNGKey(1), c, co)
+    p8 = init_conv(jax.random.PRNGKey(2), co, co2)
+    l1 = jnp.asarray(rng.standard_normal((2, 6, 6, 4 * c)).astype(np.float32))
+    fine = phase_interleave(l1)
+    gt7 = reflect_conv(p7, upsample_nearest(fine, 2), relu=True)
+    gt8 = reflect_conv(p8, gt7, relu=False)
+    l2 = phase2_conv3x3(p7, l1, up=True, relu=True)
+    np.testing.assert_allclose(np.asarray(phase_interleave2(l2)),
+                               np.asarray(gt7), rtol=1e-4, atol=1e-5)
+    got8 = phase2_conv3x3(p8, l2, up=False, relu=False, interleave=True)
+    np.testing.assert_allclose(np.asarray(got8), np.asarray(gt8),
+                               rtol=1e-4, atol=1e-5)
