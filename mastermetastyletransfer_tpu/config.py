@@ -218,6 +218,13 @@ class DecoderConfig(_ConfigBase):
     # become wide GEMM stencils; the fine RGB grid materializes exactly
     # once at the final interleave. Exact (tests/test_ops.py phase2 parity).
     phase2_tail: bool = True
+    # RGB (final) conv formulation under phase2_tail. All six probed
+    # variants (scripts/probe_conv8.py + bench A/Bs): "l2" (direct composed
+    # XLA conv, DEFAULT — pair 258.2 / locked 381.9), "l1" (downlevel
+    # relayout + L1 phase conv — 245.6 / 354.4, the relayout costs more
+    # than it saves), Pallas RGB kernel (_RGB_KERNEL_ON — 249.0 / 361.1),
+    # pad32 stencil, fine-grid XLA, explicit GEMMs (all slower isolated).
+    rgb_tail: str = "l2"
 
 
 @dataclass(frozen=True)

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 
 from mastermetastyletransfer_tpu.config import DecoderConfig
 from mastermetastyletransfer_tpu.ops.conv import (
-    init_conv, phase2_conv3x3, phase_conv3x3, phase_interleave,
+    init_conv, l2_to_l1, phase2_conv3x3, phase_conv3x3, phase_interleave,
     phase_interleave2, reflect_conv, upsample_conv_fused, upsample_nearest,
 )
 from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
@@ -107,10 +107,19 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
             level = 0 if leave else 1
         elif level == 2:
             leave = i == n - 1
-            x = phase2_conv3x3(params[f"conv{i}"], x, up=False, relu=relu,
-                               interleave=leave,
-                               use_pallas=cfg.use_pallas
-                               and cfg.use_stencil_conv)
+            if leave and cfg.rgb_tail == "l1":
+                # A/B'd SLOWER than the direct composed conv (bench 245.6
+                # vs 258.2 — the downlevel relayout costs more than the
+                # friendlier conv shape saves); kept as the A/B knob
+                x = phase_conv3x3(params[f"conv{i}"], l2_to_l1(x),
+                                  relu=relu, interleave=True,
+                                  use_pallas=cfg.use_pallas,
+                                  stencil=cfg.use_stencil_conv)
+            else:
+                x = phase2_conv3x3(params[f"conv{i}"], x, up=False,
+                                   relu=relu, interleave=leave,
+                                   use_pallas=cfg.use_pallas
+                                   and cfg.use_stencil_conv)
             level = 0 if leave else 2
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

@@ -363,6 +363,22 @@ def phase_interleave2(p: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, c)
 
 
+# kill-switch for the (measured-slower) RGB tail kernel; see phase2_conv3x3
+_RGB_KERNEL_ON = False
+
+
+def l2_to_l1(p: jnp.ndarray) -> jnp.ndarray:
+    """L2 phase tensor (B, H, W, 16*C) -> L1 phase tensor of the same fine
+    grid at half resolution (B, 2H, 2W, 4*C): fine row 4i + (2a1+a0) =
+    2*(2i+a1) + a0, so L2 group (a, b) splits into coarse-half position
+    (a1, b1) and L1 phase (a0, b0)."""
+    b, h, w, c16 = p.shape
+    c = c16 // 16
+    x8 = p.reshape(b, h, w, 2, 2, 2, 2, c)      # (a1, a0, b1, b0)
+    x8 = x8.transpose(0, 1, 3, 2, 5, 4, 6, 7)   # b, h, a1, w, b1, a0, b0, c
+    return x8.reshape(b, 2 * h, 2 * w, 4 * c)
+
+
 def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
                    relu: bool = True, interleave: bool = False,
                    use_pallas: bool = False) -> jnp.ndarray:
@@ -376,6 +392,20 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
     k2, bases = _phase2_kernel(wk.astype(jnp.float32), up)
     k2 = k2.astype(p.dtype)
     pp = _phase2_pad(p, 2 if up else 4, c_in, up)
+    if (use_pallas and not up and interleave and c_out < 32
+            and pp.shape[-1] % 128 == 0 and _RGB_KERNEL_ON):
+        # RGB tail kernel — conv + generalized align + interleave in one
+        # program, sub-32-lane groups extracted with (48, C') selection
+        # matmuls. MEASURED SLOWER than the XLA composition (8.5 vs 7.5 ms
+        # isolated; bench 249 vs 258 — probe_conv8.py + r4 A/B), so OFF by
+        # default; kept as the expressibility record and for re-probing on
+        # future toolchains.
+        from mastermetastyletransfer_tpu.ops.pallas_conv import (
+            stencil_phase2_rgb_vjp,
+        )
+        interpret = jax.default_backend() != "tpu"
+        return stencil_phase2_rgb_vjp(pp, k2, jnp.tile(params["bias"], 16),
+                                      tuple(bases), relu, interpret)
     if use_pallas and c_out % 32 == 0 and (pp.shape[-1]) % 128 == 0:
         from mastermetastyletransfer_tpu.ops.pallas_conv import (
             stencil_phase2_conv,

@@ -398,3 +398,149 @@ def _stencil2_bwd(bases, present, relu, interpret, res, g):
 
 
 stencil_phase2_conv.defvjp(_stencil2_fwd, _stencil2_bwd)
+
+
+# ---------------------------------------------------------------------------
+# L2 RGB tail kernel (r4): the decoder's final conv (C'=3) cannot use the
+# group-sliced stencil (3-lane slices are below the 32-lane granularity) and
+# XLA runs the composed (2,2,16C,48) conv at ~4 TF/s (scripts/probe_conv8.py:
+# the conv alone is 6.2 ms isolated). This kernel computes the UNALIGNED
+# 48-lane big tensor with four dense N=48 tap GEMMs, then performs the
+# per-group align + phase interleave entirely in VMEM: group extraction by
+# tiny (48, 3) selection MATMULS (lane moves via the MXU, never 3-lane
+# slices), align by sublane shifts, interleave by the (now-supported)
+# in-kernel transpose — and writes the fine RGB grid directly.
+# Reference semantics: codes/decoder.py:54 (final conv, no activation).
+# ---------------------------------------------------------------------------
+
+def _rgb_kernel(xm_ref, xt_ref, w_ref, b_ref, e_ref, out_ref, *,
+                bases, relu: bool):
+    _, r, wp, cin = xm_ref.shape          # wp = W + 2
+    w = wp - 2
+    c48 = w_ref.shape[-1]
+    c_out = c48 // 16
+    dt = xm_ref.dtype
+    f32 = jnp.float32
+    comb = jnp.concatenate([xm_ref[0], xt_ref[0]], axis=0)  # (r+2, wp, cin)
+    rb, wb = r + 1, w + 1
+    acc = None
+    for dy in range(2):
+        for dx in range(2):
+            v = comb[dy:dy + rb, dx:dx + wb, :].reshape(rb * wb, cin)
+            t = kdot(v, w_ref[dy, dx].astype(dt))
+            acc = t if acc is None else acc + t
+    big = acc + b_ref[0].astype(f32)      # (rb*wb, 48)
+    if relu:
+        big = jnp.maximum(big, 0.0)
+    big = big.reshape(rb, wb, c48).astype(dt)
+    zs = []
+    for a in range(4):
+        for b in range(4):
+            bs = big[bases[a]:bases[a] + r, bases[b]:bases[b] + w, :]
+            z = kdot(bs.reshape(r * w, c48), e_ref[4 * a + b].astype(dt))
+            zs.append(z.reshape(r, w, c_out))
+    z = jnp.stack(zs).reshape(4, 4, r, w, c_out)
+    z = z.transpose(2, 0, 3, 1, 4)        # (r, 4, w, 4, c')
+    out_ref[0] = z.reshape(4 * r, 4 * w, c_out).astype(out_ref.dtype)
+
+
+def stencil_phase2_rgb(pp: jnp.ndarray, pk: jnp.ndarray, bias16: jnp.ndarray,
+                       bases, relu: bool = False,
+                       interpret: bool = False) -> jnp.ndarray:
+    """pp: (B, H+2, W+2, 16C) custom-padded L2 input. pk: (2, 2, 16C, 16*C')
+    composed kernel (C' = 3 for RGB). Returns the FINE grid
+    (B, 4H, 4W, C') — align and interleave happen in-kernel."""
+    b, hp, wp, cin = pp.shape
+    h, w = hp - 2, wp - 2
+    c48 = pk.shape[-1]
+    c_out = c48 // 16
+    assert cin % 128 == 0, cin
+    # selection matrices: E[g] picks group g's C' columns of the 48-lane big
+    import numpy as _np
+    e = _np.zeros((16, c48, c_out), _np.float32)
+    for g in range(16):
+        e[g, g * c_out:(g + 1) * c_out] = _np.eye(c_out)
+    e = jnp.asarray(e, pp.dtype)
+
+    r = _pick_r(h, wp, cin, c48 * 4, jnp.dtype(pp.dtype).itemsize)
+    if h % 2 or r % 2:
+        big = jax.lax.conv_general_dilated(
+            pp, pk.astype(pp.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        big = big + bias16.astype(big.dtype)
+        if relu:
+            big = jnp.maximum(big, 0)
+        subs = [big[:, bases[a]:bases[a] + h, bases[bb]:bases[bb] + w,
+                    (4 * a + bb) * c_out:(4 * a + bb + 1) * c_out]
+                for a in range(4) for bb in range(4)]
+        out = jnp.concatenate(subs, axis=-1)
+        return out.reshape(b, h, w, 4, 4, c_out).transpose(
+            0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, c_out)
+
+    mspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 2, wp, cin),
+                         lambda i, j, r=r: (i, (j * r + r) // 2, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(pk.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, c48), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    espec = pl.BlockSpec(e.shape, lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, 4 * r, 4 * w, c_out), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_rgb_kernel, bases=tuple(bases), relu=relu),
+        grid=(b, h // r),
+        in_specs=[mspec, tspec, wspec, bspec, espec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, 4 * h, 4 * w, c_out), pp.dtype),
+        interpret=interpret,
+    )(pp, pp, pk, bias16.reshape(1, c48), e)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def stencil_phase2_rgb_vjp(pp, pk, bias16, bases, relu=False,
+                           interpret=False):
+    """Differentiable wrapper: forward = the RGB tail kernel; backward =
+    un-interleave + generalized-align transpose scatter + conv linear
+    transposes (recompute-free; conv8 has no ReLU by default)."""
+    return stencil_phase2_rgb(pp, pk, bias16, bases, relu, interpret)
+
+
+def _rgb_fwd(pp, pk, bias16, bases, relu, interpret):
+    y = stencil_phase2_rgb_vjp(pp, pk, bias16, bases, relu, interpret)
+    return y, (pp, pk, bias16, y)
+
+
+def _rgb_bwd(bases, relu, interpret, res, g):
+    pp, pk, bias16, y = res
+    c48 = pk.shape[-1]
+    c_out = c48 // 16
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    if relu:
+        g = g * (y > 0).astype(g.dtype)
+    # un-interleave the fine cotangent back to L2 groups
+    g2 = g.reshape(b, h, 4, w, 4, c_out).transpose(0, 1, 3, 2, 4, 5)
+    g2 = g2.reshape(b, h, w, c48)
+    d_big = jnp.zeros((b, h + 1, w + 1, c48), g.dtype)
+    for a in range(4):
+        for bb in range(4):
+            sl = slice((4 * a + bb) * c_out, (4 * a + bb + 1) * c_out)
+            d_big = d_big.at[:, bases[a]:bases[a] + h,
+                             bases[bb]:bases[bb] + w, sl].set(g2[..., sl])
+    conv_pp = lambda t: jax.lax.conv_general_dilated(
+        t, pk.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    conv_pk = lambda t: jax.lax.conv_general_dilated(
+        pp, t.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    (d_pp,) = jax.linear_transpose(conv_pp, pp)(d_big.astype(pp.dtype))
+    (d_pk,) = jax.linear_transpose(conv_pk, pk)(d_big.astype(pp.dtype))
+    d_bias = d_big.astype(jnp.float32).sum((0, 1, 2)).astype(bias16.dtype)
+    return d_pp, d_pk.astype(pk.dtype), d_bias
+
+
+stencil_phase2_rgb_vjp.defvjp(_rgb_fwd, _rgb_bwd)
