@@ -101,6 +101,14 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
     b, h, w, cin = images.shape
     pe = params["patch_embed"]["conv"]
     e = pe["kernel"].shape[-1]
+    pe_norm = params["patch_embed"]["norm"]
+    # NOTE (r4): a Pallas patch-embed+LN kernel (ops/pallas_conv.
+    # pallas_patch_embed) was built and measured 20.2 ms vs 2.7 ms for this
+    # s2d path standalone at (16, 512^2, 3) — the 3-lane input pads to 128
+    # VMEM lanes and the 16 tap views lower to VPU-bound strided code. The
+    # "patch embed costs ~7 ms in-context" reading that motivated it was
+    # first-prefix dispatch overhead + tunnel variance (PERF.md r4 table).
+    # Lever CLOSED; the kernel stays (tested) as the negative-result record.
     if cfg.patch_embed_impl == "conv":
         x = jax.lax.conv_general_dilated(
             images, pe["kernel"].astype(images.dtype), (4, 4), "VALID",
@@ -112,8 +120,7 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
             b, h // 4, w // 4, 16 * cin)
         wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
         x = patches @ wk + pe["bias"].astype(patches.dtype)
-    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
-                   params["patch_embed"]["norm"]["bias"])
+    x = layer_norm(x, pe_norm["scale"], pe_norm["bias"])
 
     # Eval fast path (fused Pallas blocks): each stage stays PADDED-resident —
     # pad to the window multiple once, run both blocks on the padded grid

@@ -544,3 +544,83 @@ def _rgb_bwd(bases, relu, interpret, res, g):
 
 
 stencil_phase2_rgb_vjp.defvjp(_rgb_fwd, _rgb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Patch-embed kernel (r4): torchvision's 4x4-stride-4 patch embed on TPU is
+# a space-to-depth relayout of a 3-LANE image (125/128 lanes wasted in every
+# physical tile) — XLA pays ~7 ms at (16, 512, 512, 3) (scripts/probe_swin.py
+# prefix profile), 38% of the whole swin encoder. This kernel reads raw image
+# rows and computes embed + LayerNorm in one pass: the 16 patch taps are
+# sublane-split views dotted against (3, E) weight slices (K=3 pads to the
+# MXU's K granule — trivial FLOPs), accumulated in f32.
+# Reference semantics: torchvision swin patch embed (codes/utils.py:59-102).
+# ---------------------------------------------------------------------------
+
+def _patch_embed_kernel(x_ref, w_ref, b_ref, s_ref, sb_ref, out_ref, *,
+                        ps: int, use_ln: bool, eps: float = 1e-5):
+    _, rr, wpx, cin = x_ref.shape          # rr = ps*r image rows
+    r = rr // ps
+    wc = wpx // ps                          # coarse cols
+    e = out_ref.shape[-1]
+    dt = x_ref.dtype
+    f32 = jnp.float32
+    x5 = x_ref[0].reshape(r, ps, wc, ps, cin)
+    acc = None
+    for dy in range(ps):
+        for dx in range(ps):
+            v = x5[:, dy, :, dx, :].reshape(r * wc, cin)
+            t = kdot(v, w_ref[dy * ps + dx].astype(dt))
+            acc = t if acc is None else acc + t
+    y = acc + b_ref[0].astype(f32)          # (r*wc, E) f32
+    if use_ln:
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        y = (y - mean) * jax.lax.rsqrt(var + eps)
+        y = y * s_ref[0].astype(f32) + sb_ref[0].astype(f32)
+    out_ref[0] = y.reshape(r, wc, e).astype(out_ref.dtype)
+
+
+def pallas_patch_embed(images: jnp.ndarray, kernel: jnp.ndarray,
+                       bias: jnp.ndarray, ln_scale=None, ln_bias=None, *,
+                       interpret: bool = False) -> jnp.ndarray:
+    """images (B, H, W, Cin) -> (B, H/ps, W/ps, E) patch embedding
+    (+ fused LayerNorm when ln_scale is given). kernel: (ps, ps, Cin, E)
+    conv weights (HWIO)."""
+    b, h, w, cin = images.shape
+    ps = kernel.shape[0]
+    e = kernel.shape[-1]
+    hc, wc = h // ps, w // ps
+    wk = kernel.reshape(ps * ps, cin, e)
+
+    # coarse row tile: the (..., cin) input block pads cin to 128 LANES in
+    # VMEM (cin=3 -> 42x the nominal bytes), so budget with the padded
+    # itemsize; keep the block ~<=1MB physical.
+    cap = max(1, (1 << 20) // (ps * w * 128 *
+                               jnp.dtype(images.dtype).itemsize))
+    r = 1
+    for t in range(min(cap, hc), 0, -1):
+        if hc % t == 0:
+            r = t
+            break
+
+    use_ln = ln_scale is not None
+    s = (ln_scale if use_ln else jnp.ones((e,), images.dtype)).reshape(1, e)
+    sb = (ln_bias if use_ln else jnp.zeros((e,), images.dtype)).reshape(1, e)
+
+    xspec = pl.BlockSpec((1, ps * r, w, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(wk.shape, lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    vspec = pl.BlockSpec((1, e), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, r, wc, e), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_patch_embed_kernel, ps=ps, use_ln=use_ln),
+        grid=(b, hc // r),
+        in_specs=[xspec, wspec, vspec, vspec, vspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, hc, wc, e), images.dtype),
+        interpret=interpret,
+    )(images, wk, bias.reshape(1, e), s, sb)

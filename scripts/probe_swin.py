@@ -62,13 +62,23 @@ def swin_prefix(params, images, cfg: SwinConfig, upto: int):
     b, h, w, cin = images.shape
     pe = params["patch_embed"]["conv"]
     e = pe["kernel"].shape[-1]
-    patches = images.reshape(b, h // 4, 4, w // 4, 4, cin)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-        b, h // 4, w // 4, 16 * cin)
-    wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
-    x = patches @ wk + pe["bias"].astype(patches.dtype)
-    x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
-                   params["patch_embed"]["norm"]["bias"])
+    if os.environ.get("PROBE_PE", "pallas") == "pallas":
+        from mastermetastyletransfer_tpu.ops.pallas_conv import (
+            pallas_patch_embed,
+        )
+        x = pallas_patch_embed(
+            images, pe["kernel"], pe["bias"],
+            params["patch_embed"]["norm"]["scale"],
+            params["patch_embed"]["norm"]["bias"],
+            interpret=jax.default_backend() != "tpu")
+    else:
+        patches = images.reshape(b, h // 4, 4, w // 4, 4, cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, h // 4, w // 4, 16 * cin)
+        wk = pe["kernel"].reshape(16 * cin, e).astype(patches.dtype)
+        x = patches @ wk + pe["bias"].astype(patches.dtype)
+        x = layer_norm(x, params["patch_embed"]["norm"]["scale"],
+                       params["patch_embed"]["norm"]["bias"])
     if upto == 0:
         return x
     wh, ww = cfg.window_size

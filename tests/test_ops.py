@@ -403,3 +403,28 @@ def test_phase2_kernels_vs_fine_grid(rng):
     got8 = phase2_conv3x3(p8, l2, up=False, relu=False, interleave=True)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(gt8),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_patch_embed_parity(rng):
+    """r4 patch-embed kernel (pallas_conv.pallas_patch_embed): embed + fused
+    LN vs the s2d-GEMM formulation, several geometries and dtypes."""
+    from mastermetastyletransfer_tpu.ops.pallas_conv import pallas_patch_embed
+
+    for (b, s, e), dt, tol in [((2, 64, 128), jnp.float32, 1e-5),
+                               ((1, 96, 96), jnp.float32, 1e-5),
+                               ((2, 64, 128), jnp.bfloat16, 2e-2)]:
+        key = jax.random.PRNGKey(s)
+        x = jax.random.normal(key, (b, s, s, 3), dt)
+        k = jax.random.normal(key, (4, 4, 3, e), jnp.float32) * 0.05
+        bias = jax.random.normal(key, (e,), jnp.float32) * 0.01
+        sc = 1.0 + 0.1 * jax.random.normal(key, (e,), jnp.float32)
+        sb = 0.1 * jax.random.normal(key, (e,), jnp.float32)
+        p = x.reshape(b, s // 4, 4, s // 4, 4, 3)
+        p = p.transpose(0, 1, 3, 2, 4, 5).reshape(b, s // 4, s // 4, 48)
+        want = layer_norm(p @ k.reshape(48, e).astype(dt) + bias.astype(dt),
+                          sc, sb)
+        got = pallas_patch_embed(x, k, bias, sc, sb, interpret=True)
+        assert got.dtype == dt
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=tol, atol=tol)
