@@ -43,7 +43,8 @@ def init_cnn_decoder(key, cfg: DecoderConfig) -> dict:
 
 @applies_matmul_mode
 def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
-                      upto: int | None = None) -> jnp.ndarray:
+                      upto: int | None = None,
+                      deterministic: bool = True) -> jnp.ndarray:
     """NHWC features (B, H/8, W/8, C) -> RGB (B, H, W, 3). The final conv has
     no activation (reference: codes/decoder.py:54).
 
@@ -80,7 +81,11 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
                 x = upsample_nearest(x, 2)
             continue
         # does the NEXT conv consume this upsample inside phase-2 space?
-        phase2_next = (cfg.phase2_tail and up and i + 1 < n
+        # (eval-only: the L2 tail's recompute-free backward measured -15%
+        # on the train step — 126.8 vs 149.1 imgs/s, PERF.md r4 levers —
+        # so training keeps the L1 tail; the transforms are exact either
+        # way, so train/eval may differ in formulation.)
+        phase2_next = (cfg.phase2_tail and deterministic and up and i + 1 < n
                        and i + 1 < cfg.phase_exit
                        and not any(u2 for _, _, u2 in plan[i + 1:]))
         if pending_up and level == 1:

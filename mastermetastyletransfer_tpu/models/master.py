@@ -135,7 +135,8 @@ def stylize_from_features(params: dict, fc: jnp.ndarray, fs: jnp.ndarray,
             deterministic=deterministic, rng=rng)
     dd = jnp.dtype(cfg.stage_dtype("decoder"))
     with _stage_ctx(cfg, "decoder"):
-        out = cnn_decoder_apply(params["decoder"], fcs.astype(dd), cfg.decoder)
+        out = cnn_decoder_apply(params["decoder"], fcs.astype(dd), cfg.decoder,
+                                deterministic=deterministic)
     return out.astype(jnp.float32)
 
 

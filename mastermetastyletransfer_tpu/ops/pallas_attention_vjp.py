@@ -49,6 +49,36 @@ def _bh_dims(bsub: int):
             (((1,), (0,)), ((), ())))
 
 
+def _tdot(a, b, bsub, ddn, f32):
+    """a^T @ b per image. The r3 formulation expressed this as a batched
+    dot_general contracting the MIDDLE dim of both operands
+    ((((1,),(1,)),((0,),(0,)))), which SIGSEGVs the platform Mosaic
+    compiler at bsub>1 (scripts/probe_bwd.py). Reformulated r4: transpose
+    `a` explicitly — in-kernel sublane transposes lower fine now
+    (scripts/probe_rowview.py, hardware-measured) — and contract with the
+    standard rows-x-rows dims."""
+    if bsub > 1:
+        return jax.lax.dot_general(jnp.swapaxes(a, 1, 2), b, ddn,
+                                   preferred_element_type=f32)
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=f32)
+
+
+def _bwd_bsub(b: int, c: int, twn: int) -> int:
+    """Image batching for the BACKWARD kernels. Default 1 (the historically
+    safe point); MMST_BWD_BSUB=auto uses the forward's VMEM-budget pick
+    (the bwd kernel holds ~2x the forward's live buffers), an integer
+    forces that value — probe/A-B knob for the r4 transpose reformulation."""
+    import os
+    v = os.environ.get("MMST_BWD_BSUB", "1")
+    if v == "auto":
+        return _pick_bsub(b, c, 2 * twn)
+    want = min(max(int(v), 1), b)
+    while b % want:  # grid is (nt, b // bsub) — bsub must divide b
+        want -= 1
+    return want
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
                 wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wp_ref,
                 bias_ref, mask_ref,
@@ -96,6 +126,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
     def flatten(x3):
         return x3.reshape(rows, -1) if bsub > 1 else x3
 
+    # dO for ALL heads as one (rows, C) GEMM, then ONE full-width sublane
+    # split + per-head 32-granular lane slices. The per-head form
+    # (img(gc @ wp[sl,:].T)) split a NARROW (rows, dh) product —
+    # vector<490x32> -> <2x245x32> is the one shape cast Mosaic rejects
+    # (full-width splits, as in the forward, lower fine).
+    do_all = img(jnp.dot(gc, wp.T, preferred_element_type=f32).astype(dt))
+
     dq_parts = []
     dk_parts = []
     dv_parts = []
@@ -111,8 +148,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)        # (BSUB, TWN, TWN)
         pc = p.astype(dt)
 
-        do_h = jnp.dot(gc, wp[sl, :].T, preferred_element_type=f32)
-        do_c = img(do_h.astype(dt))                       # (BSUB, TWN, dh)
+        do_c = do_all[..., sl]                            # (BSUB, TWN, dh)
         o_h = jax.lax.dot_general(pc, v3[..., sl], ddn,
                                   preferred_element_type=f32)
         # shared-weight grad: sum over images AND rows -> flat 2-D GEMM
@@ -127,15 +163,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, g_ref,
 
         dq_parts.append(flatten(scale * jax.lax.dot_general(
             ds_c, k3[..., sl], ddn, preferred_element_type=f32)))
-        # dk_h = scale * dS^T q_h (q unscaled): transpose via swapped dims
-        if bsub > 1:
-            dsT = (((1,), (1,)), ((0,), (0,)))
-        else:
-            dsT = (((0,), (0,)), ((), ()))
-        dk_parts.append(flatten(scale * jax.lax.dot_general(
-            ds_c, q3[..., sl], dsT, preferred_element_type=f32)))
-        dv_parts.append(flatten(jax.lax.dot_general(
-            pc, do_c, dsT, preferred_element_type=f32)))
+        # dk_h = scale * dS^T q_h (q unscaled); dv_h = P^T dO_h
+        dk_parts.append(flatten(
+            scale * _tdot(ds_c, q3[..., sl], bsub, ddn, f32)))
+        dv_parts.append(flatten(_tdot(pc, do_c, bsub, ddn, f32)))
 
     dq = jnp.concatenate(dq_parts, axis=-1)                   # (rows, C)
     dk = jnp.concatenate(dk_parts, axis=-1)
@@ -224,12 +255,14 @@ def _bwd(mask_key, heads, interpret, res, g):
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    # NOTE: the batched (bsub>1) backward crashes the Mosaic compiler
-    # (SIGSEGV, scripts/probe_bwd.py isolates it; the middle-dim
-    # dS^T-style batched contraction is the prime suspect). The kernel
-    # supports bsub>1 and passes interpret-mode parity; re-enable via
-    # _pick_bsub(b, c, 2 * twn) when the toolchain accepts it.
-    bsub = 1
+    # NOTE: the r3 batched (bsub>1) backward crashed the Mosaic compiler
+    # (SIGSEGV, scripts/probe_bwd.py) on its middle-dim dS^T batched
+    # contraction; r4 reformulated it via explicit in-kernel transposes
+    # (_tdot) — compiles and runs at every train shape. Measured a WASH
+    # on train throughput (126.9 vs 126.8 imgs/s, PERF.md r4 levers), so
+    # the long-proven bsub=1 stays default; MMST_BWD_BSUB={auto,N} selects
+    # the batched path.
+    bsub = _bwd_bsub(b, c, twn)
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     f32 = jnp.float32
     acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),
@@ -354,10 +387,12 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
 
     qs3, q3, k3, vs3, vh3 = img(qs), img(q_c), img(kc), img(vsc), img(vhc)
     ddt, ddn = _bh_dims(bsub)
-    if bsub > 1:
-        dsT = (((1,), (1,)), ((0,), (0,)))
-    else:
-        dsT = (((0,), (0,)), ((), ()))
+
+    # all-heads dO as full-width GEMMs + ONE supported full-width split
+    # (see the single-V kernel note: narrow (rows, dh) splits are the one
+    # shape cast Mosaic rejects).
+    do_s_all = img(jnp.dot(gsc, wp.T, preferred_element_type=f32).astype(dt))
+    do_h_all = img(jnp.dot(ghc, wp.T, preferred_element_type=f32).astype(dt))
 
     dq_parts, dk_parts, dvs_parts, dvh_parts = [], [], [], []
     dwp_rows, dbias_rows = [], []
@@ -371,10 +406,8 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
         p = e / jnp.sum(e, axis=-1, keepdims=True)
         pc = p.astype(dt)
 
-        do_s = img(jnp.dot(gsc, wp[sl, :].T,
-                           preferred_element_type=f32).astype(dt))
-        do_h = img(jnp.dot(ghc, wp[sl, :].T,
-                           preferred_element_type=f32).astype(dt))
+        do_s = do_s_all[..., sl]
+        do_h = do_h_all[..., sl]
         o_s = jax.lax.dot_general(pc, vs3[..., sl], ddn,
                                   preferred_element_type=f32)
         o_h = jax.lax.dot_general(pc, vh3[..., sl], ddn,
@@ -395,12 +428,10 @@ def _bwd_kernel_dual(q_ref, k_ref, vs_ref, vh_ref, gs_ref, gh_ref,
 
         dq_parts.append(flatten(scale * jax.lax.dot_general(
             ds_c, k3[..., sl], ddn, preferred_element_type=f32)))
-        dk_parts.append(flatten(scale * jax.lax.dot_general(
-            ds_c, q3[..., sl], dsT, preferred_element_type=f32)))
-        dvs_parts.append(flatten(jax.lax.dot_general(
-            pc, do_s, dsT, preferred_element_type=f32)))
-        dvh_parts.append(flatten(jax.lax.dot_general(
-            pc, do_h, dsT, preferred_element_type=f32)))
+        dk_parts.append(flatten(
+            scale * _tdot(ds_c, q3[..., sl], bsub, ddn, f32)))
+        dvs_parts.append(flatten(_tdot(pc, do_s, bsub, ddn, f32)))
+        dvh_parts.append(flatten(_tdot(pc, do_h, bsub, ddn, f32)))
 
     dq = jnp.concatenate(dq_parts, axis=-1)
     dk = jnp.concatenate(dk_parts, axis=-1)
@@ -479,7 +510,7 @@ def _bwd_dual(mask_key, heads, interpret, res, g):
     bias_b = _bias_big(bias, tw)
     mask_b = _expand_mask(mask, nt, tw, n, nw)
 
-    bsub = 1  # see note in _bwd: bsub>1 crashes the Mosaic compiler
+    bsub = _bwd_bsub(b, c, twn)  # see note in _bwd (r4 _tdot reformulation)
     win, wmat, wvec, rbias, mspec = _specs(twn, c, heads, bsub)
     f32 = jnp.float32
     acc2 = lambda shape: pl.BlockSpec(shape, lambda i, j: (0, 0),

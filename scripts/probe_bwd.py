@@ -49,6 +49,13 @@ def main(force_bsub=None):
         forced = lambda b, c, twn, **kw: min(force_bsub, b)
         pa._pick_bsub = forced
         pav._pick_bsub = forced
+        # r4: the backward wrappers select bsub via _bwd_bsub (env);
+        # route the forced value through it too.
+        os.environ["MMST_BWD_BSUB"] = str(force_bsub)
+    else:
+        # r4: the backward bsub is env-selected (pallas_attention_vjp
+        # _bwd_bsub); surface it in the probe labels.
+        force_bsub = "env=" + os.environ.get("MMST_BWD_BSUB", "1")
 
     for tag, dim, heads, nw, b in [("swin1_train", 128, 4, 100, 16),
                                    ("st_train", 256, 8, 25, 8),

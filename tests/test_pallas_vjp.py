@@ -81,9 +81,12 @@ def test_train_step_with_pallas_mlp():
 
 
 @pytest.mark.parametrize("shift", [(0, 0), (4, 4)])
-def test_window_attention_grads_match_xla(rng, shift):
+@pytest.mark.parametrize("bwd_bsub", ["1", "2"])
+def test_window_attention_grads_match_xla(rng, shift, bwd_bsub, monkeypatch):
     """jax.grad through the Pallas attention (custom VJP) must match the XLA
-    chain's autodiff for params and all three inputs."""
+    chain's autodiff for params and all three inputs — at bsub=1 and at the
+    r4 image-batched backward (MMST_BWD_BSUB, _tdot transpose formulation)."""
+    monkeypatch.setenv("MMST_BWD_BSUB", bwd_bsub)
     from mastermetastyletransfer_tpu.config import AttentionConfig
     from mastermetastyletransfer_tpu.ops.attention import (
         init_window_attention, shifted_window_attention,
@@ -115,9 +118,11 @@ def test_window_attention_grads_match_xla(rng, shift):
                                    rtol=5e-3, atol=5e-4)
 
 
-def test_dual_value_attention_grads_match_xla(rng):
+@pytest.mark.parametrize("bwd_bsub", ["1", "2"])
+def test_dual_value_attention_grads_match_xla(rng, bwd_bsub, monkeypatch):
     """jax.grad through the dual-V Pallas kernel (sigma+mu streams, shared
-    projection) must match the XLA chain's autodiff."""
+    projection) must match the XLA chain's autodiff (both backward bsubs)."""
+    monkeypatch.setenv("MMST_BWD_BSUB", bwd_bsub)
     from mastermetastyletransfer_tpu.config import AttentionConfig
     from mastermetastyletransfer_tpu.ops.attention import (
         init_dual_value_window_attention, shifted_window_attention_dual_value,
@@ -127,7 +132,7 @@ def test_dual_value_attention_grads_match_xla(rng):
                           shift_size=(4, 4))
     cfg_p = cfg.replace(use_pallas=True)
     params = init_dual_value_window_attention(jax.random.PRNGKey(0), cfg)
-    xs = [jnp.asarray(rng.standard_normal((1, 18, 20, 64)).astype(np.float32))
+    xs = [jnp.asarray(rng.standard_normal((2, 18, 20, 64)).astype(np.float32))
           for _ in range(4)]
 
     def loss(c):
