@@ -260,7 +260,21 @@ def fused_self_attention_block(block_params: dict, x_in: jnp.ndarray,
     attn = block_params["attn"]
     bias = relative_position_bias(attn["rel_bias_table"], wh, ww)
 
-    if _rows_resident_on():
+    # Hardware gates for the row-resident kernel (interpret mode — the CPU
+    # tests — has no VMEM limit and keeps exercising it at any size/dtype):
+    #  * bf16 only: at f32 its live f32 intermediates scope 19.66M/16M VMEM
+    #    even at bsub=1 (measured r4, the 512^2 swin shape (2,133,133,128));
+    #    f32 — the parity/compliant path — keeps the proven per-window-tile
+    #    kernel below.
+    #  * row width twn*C <= 256k elements: one grid step holds a full
+    #    window-ROW (nww*N rows), whose f32 qkv/MLP buffers scale with
+    #    twn*C — 1024^2 shapes (1813*128, 931*256 = 232k/238k) fit, the
+    #    2048^2 row (3626*128 = 464k) scope-OOMs (measured r4).
+    _wp = -(-x_in.shape[2] // ww) * ww
+    _twn_c = (_wp // ww) * wh * ww * cfg.dim
+    if _rows_resident_on() and (_pallas_interpret()
+                                or (x_in.dtype == jnp.bfloat16
+                                    and _twn_c <= 262144)):
         # Row-resident path (r4): the kernel reads the padded (B, Hp, Wp, C)
         # image directly (roll folded into its row index maps) and writes
         # plain rows back in the rolled frame — no partition/merge HBM

@@ -42,6 +42,7 @@ Reference semantics: codes/style_transformer.py:37-169 (single V) and
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -273,7 +274,14 @@ def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072,
     fused encoder at the bf16 budget scoped 26.6M/16M; the block kernel
     at a linear half-budget still scoped 21.8M/16M; quarter-budget
     fits). f32 is the parity/compat path, so the conservative bsub is
-    fine."""
+    fine.
+
+    MMST_BSUB_BUDGET_SCALE (float, probe knob): scales every kernel's
+    element budget — the r4 high-res sweep lever (budgets were calibrated
+    at 512^2 batch 8)."""
+    scale = float(os.environ.get("MMST_BSUB_BUDGET_SCALE", "1"))
+    if scale != 1.0:
+        budget = int(budget * scale)
     cap = min(8, max(1, (budget * 4 // (itemsize * itemsize)) // (c * twn)))
     for d in range(min(cap, b), 0, -1):
         if b % d == 0:

@@ -16,6 +16,7 @@ which reuses this forward and adds a Pallas backward kernel.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -63,8 +64,13 @@ def _default_budget_rows(hidden: int, itemsize: int) -> int:
     """Forward row budget: 1024 rows scaled down for wide hidden dims,
     halved for f32 inputs (the (rows, hidden) f32 buffer is the VMEM
     driver). The backward kernel uses HALF of this (pallas_mlp_vjp) — it
-    holds ~4 live (tile, hidden) intermediates vs the forward's 1-2."""
-    return max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
+    holds ~4 live (tile, hidden) intermediates vs the forward's 1-2.
+
+    MMST_MLP_ROW_SCALE (float, probe knob): scales the budget — the r4
+    high-res sweep lever (calibrated at 512^2 batch 8)."""
+    rows = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
+    scale = float(os.environ.get("MMST_MLP_ROW_SCALE", "1"))
+    return rows if scale == 1.0 else max(8, int(rows * scale) // 8 * 8)
 
 
 def _rows_tile(rows: int, c: int, hidden: int,

@@ -65,6 +65,38 @@ def test_full_model_pallas_matches_xla():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("shift", [(0, 0), (4, 4)])
+def test_block_rows_resident_matches_tile_path(rng, shift, monkeypatch):
+    """The r4 row-resident whole-block kernel (geometry folded into index
+    maps) must match the per-window-tile block kernel + XLA geometry it
+    replaced, on a padded grid with a shift (both paths through
+    fused_self_attention_block; hardware runs rows-resident only at bf16 —
+    the f32 VMEM gate — but interpret mode tests the kernel at f32)."""
+    from mastermetastyletransfer_tpu.ops.attention import (
+        fused_self_attention_block,
+    )
+
+    cfg = AttentionConfig(dim=64, num_heads=4, window_size=(7, 7),
+                          shift_size=shift, use_pallas=True)
+    params = init_window_attention(jax.random.PRNGKey(0), cfg)
+    mlp = {"fc1": {"kernel": jnp.asarray(
+                       rng.standard_normal((64, 256)) * 0.02, jnp.float32),
+                   "bias": jnp.zeros((256,))},
+           "fc2": {"kernel": jnp.asarray(
+                       rng.standard_normal((256, 64)) * 0.02, jnp.float32),
+                   "bias": jnp.zeros((64,))}}
+    norm = lambda: {"scale": jnp.ones((64,)), "bias": jnp.zeros((64,))}
+    block = {"attn": params, "mlp": mlp, "norm1": norm(), "norm2": norm()}
+    x = jnp.asarray(rng.standard_normal((2, 18, 20, 64)), jnp.float32)
+
+    monkeypatch.setenv("MMST_ROWS_RESIDENT", "0")
+    ref = fused_self_attention_block(block, x, cfg, use_norm=True)
+    monkeypatch.setenv("MMST_ROWS_RESIDENT", "1")
+    out = fused_self_attention_block(block, x, cfg, use_norm=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def _win_partition(x, wh=7, ww=7):
     """(B, H, W, C) divisible grid -> (B, nW, N, C) (no roll/pad; the fused
     iteration kernels operate on already-partitioned window tensors)."""
