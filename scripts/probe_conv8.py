@@ -104,6 +104,15 @@ def main():
                                interleave=True, use_pallas=False)
         return out[..., :3]
 
+    def v4(p, xx):
+        # pad C' 3->8: the composed conv emits 16*8 = 128 lanes (full MXU
+        # width, vs v0's 48) and _align2's 16 lane-slices land 8-aligned
+        # (vs 3-lane slices). 2.7x the conv FLOPs of v0, 4x less than v1.
+        pp8 = pad_cout(p, 8)
+        out = C.phase2_conv3x3(pp8, xx, up=False, relu=False,
+                               interleave=True, use_pallas=False)
+        return out[..., :3]
+
     def v2(p, xx):
         fine = C.phase_interleave2(xx)
         return C.reflect_conv(p, fine, relu=False)
@@ -122,6 +131,7 @@ def main():
     for name, fn in [("v0_current", v0), ("v0_conv_only", v0_conv_only),
                      ("v0_conv_align", v0_conv_align),
                      ("v1_pad32_pallas", v1), ("v1_pad32_xla", v1_xla),
+                     ("v4_pad8_xla", v4),
                      ("v2_fine_xla", v2), ("v3_downlevel_L1", v3)]:
         try:
             jf = jax.jit(fn)
