@@ -57,6 +57,9 @@ def _build_cfg(args):
     if getattr(args, "phase2", None) is not None:
         cfg = cfg.replace(
             decoder=cfg.decoder.replace(phase2_tail=args.phase2))
+    if getattr(args, "rgb_tail", None):
+        cfg = cfg.replace(
+            decoder=cfg.decoder.replace(rgb_tail=args.rgb_tail))
     if args.matmul_mode != "native":
         cfg = cfg.replace(
             swin=cfg.swin.replace(matmul_mode=args.matmul_mode),
@@ -421,6 +424,10 @@ def main():
                     help="force the decoder double-phase (L2) tail on/off "
                          "(--phase2 / --no-phase2); default follows "
                          "DecoderConfig.phase2_tail (on)")
+    ap.add_argument("--rgb_tail", choices=["l2", "l1", "l2gemm"],
+                    default=None,
+                    help="RGB-conv formulation under the phase2 tail; "
+                         "default follows DecoderConfig.rgb_tail")
     ap.add_argument("--stencil", action=argparse.BooleanOptionalAction,
                     default=None,
                     help="force the decoder stencil-GEMM kernel on/off "

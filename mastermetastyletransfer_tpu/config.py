@@ -224,6 +224,9 @@ class DecoderConfig(_ConfigBase):
     # relayout + L1 phase conv — 245.6 / 354.4, the relayout costs more
     # than it saves), Pallas RGB kernel (_RGB_KERNEL_ON — 249.0 / 361.1),
     # pad32 stencil, fine-grid XLA, explicit GEMMs (all slower isolated).
+    # plus "l2gemm" (r4: the composed conv as 4 shifted GEMM accumulations —
+    # the XLA conv path runs ~7 TF/s at N=48; probe_conv8 v5 measures it
+    # ~7% faster isolated. A/B'd on the full bench before defaulting).
     rgb_tail: str = "l2"
 
 

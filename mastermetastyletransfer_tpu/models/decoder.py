@@ -124,7 +124,9 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
                 x = phase2_conv3x3(params[f"conv{i}"], x, up=False,
                                    relu=relu, interleave=leave,
                                    use_pallas=cfg.use_pallas
-                                   and cfg.use_stencil_conv)
+                                   and cfg.use_stencil_conv,
+                                   gemm4=leave
+                                   and cfg.rgb_tail == "l2gemm")
             level = 0 if leave else 2
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

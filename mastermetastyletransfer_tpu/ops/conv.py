@@ -381,7 +381,8 @@ def l2_to_l1(p: jnp.ndarray) -> jnp.ndarray:
 
 def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
                    relu: bool = True, interleave: bool = False,
-                   use_pallas: bool = False) -> jnp.ndarray:
+                   use_pallas: bool = False,
+                   gemm4: bool = False) -> jnp.ndarray:
     """Exact fine-grid [upsample-2x ->] reflect-pad -> 3x3 conv evaluated in
     DOUBLE phase space. p: L1 phase tensor (B, H, W, 4C) when up, else L2
     (B, H, W, 16C). Returns the L2 phase tensor (B, H, W, 16*C_out), or the
@@ -419,6 +420,25 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
         interpret = jax.default_backend() != "tpu"
         out = stencil_phase2_conv(pp, k2, jnp.tile(params["bias"], 16),
                                   tuple(bases), present, relu, interpret)
+    elif gemm4:
+        # XLA's conv path measures ~7 TF/s at the RGB tail's narrow
+        # (2,2,16C,16*3) composed kernel; 4 shifted GEMM accumulations of
+        # the same math run ~10% faster end-to-end (scripts/probe_conv8.py
+        # v5: 6.43 vs 6.91 ms isolated). f32 accumulation, exact vs the
+        # conv up to bf16 summation order.
+        hp, wp = pp.shape[1], pp.shape[2]
+        acc = None
+        for dy in range(2):
+            for dx in range(2):
+                tap = pp[:, dy:dy + hp - 1, dx:dx + wp - 1, :]
+                t = jnp.einsum("bhwc,cd->bhwd", tap, k2[dy, dx],
+                               preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        big = acc + jnp.tile(params["bias"], 16).astype(jnp.float32)
+        if relu:
+            big = jnp.maximum(big, 0)
+        big = big.astype(p.dtype)
+        out = _align2(big, h, w, c_out, bases)
     else:
         big = lax.conv_general_dilated(
             pp, k2, (1, 1), "VALID",

@@ -113,6 +113,65 @@ def main():
                                interleave=True, use_pallas=False)
         return out[..., :3]
 
+    def _pp_k2(p, xx):
+        k2, bases = C._phase2_kernel(p["kernel"].astype(jnp.float32), False)
+        pp = C._phase2_pad(xx, 4, c, False)
+        return pp, k2.astype(xx.dtype), bases
+
+    def v5(p, xx):
+        # the composed (2,2,512,48) conv as 4 shifted GEMM accumulations —
+        # the XLA conv path measures ~7 TF/s at N=48; plain dots may not.
+        pp, k2, bases = _pp_k2(p, xx)
+        bb, hp, wp, kk = pp.shape
+        ho, wo = hp - 1, wp - 1
+        acc = None
+        for dy in range(2):
+            for dx in range(2):
+                tap = pp[:, dy:dy + ho, dx:dx + wo, :]
+                t = jnp.einsum("bhwc,cd->bhwd", tap, k2[dy, dx],
+                               preferred_element_type=jnp.float32)
+                acc = t if acc is None else acc + t
+        big = (acc + jnp.tile(p["bias"], 16)).astype(xx.dtype)
+        out = C._align2(big, l2g, l2g, 3, bases)
+        return C.phase_interleave2(out)
+
+    def v6(p, xx):
+        # im2col: concat the 4 taps on lanes, ONE (M, 2048) @ (2048, 48) GEMM
+        pp, k2, bases = _pp_k2(p, xx)
+        bb, hp, wp, kk = pp.shape
+        ho, wo = hp - 1, wp - 1
+        taps = [pp[:, dy:dy + ho, dx:dx + wo, :]
+                for dy in range(2) for dx in range(2)]
+        col = jnp.concatenate(taps, axis=-1)
+        big = col.reshape(bb * ho * wo, 4 * kk) @ k2.reshape(4 * kk, 48)
+        big = (big + jnp.tile(p["bias"], 16)).reshape(bb, ho, wo, 48)
+        out = C._align2(big, l2g, l2g, 3, bases)
+        return C.phase_interleave2(out)
+
+    def v7(p, xx):
+        # v6 with the 16 output groups scattered to 8-lane slots (N=128,
+        # same MXU pass count as N=48) so _align2's slices land 8-aligned
+        pp, k2, bases = _pp_k2(p, xx)
+        bb, hp, wp, kk = pp.shape
+        ho, wo = hp - 1, wp - 1
+        taps = [pp[:, dy:dy + ho, dx:dx + wo, :]
+                for dy in range(2) for dx in range(2)]
+        col = jnp.concatenate(taps, axis=-1)
+        kw = k2.reshape(4 * kk, 16, 3)
+        kw8 = jnp.zeros((4 * kk, 16, 8), xx.dtype).at[:, :, :3].set(kw)
+        b8 = jnp.zeros((16, 8), xx.dtype).at[:, :3].set(
+            jnp.broadcast_to(p["bias"], (16, 3)).astype(xx.dtype))
+        big = (col.reshape(bb * ho * wo, 4 * kk) @ kw8.reshape(4 * kk, 128)
+               + b8.reshape(128)).reshape(bb, ho, wo, 128)
+        subs = [big[:, bases[a]:bases[a] + l2g, bases[b]:bases[b] + l2g,
+                    (4 * a + b) * 8:(4 * a + b) * 8 + 8]
+                for a in range(4) for b in range(4)]
+        out = jnp.concatenate(subs, axis=-1)           # (B, H, W, 16*8)
+        x6 = out.reshape(bb, l2g, l2g, 4, 4, 8)
+        fine = x6.transpose(0, 1, 3, 2, 4, 5).reshape(
+            bb, 4 * l2g, 4 * l2g, 8)
+        return fine[..., :3]
+
     def v2(p, xx):
         fine = C.phase_interleave2(xx)
         return C.reflect_conv(p, fine, relu=False)
@@ -132,6 +191,8 @@ def main():
                      ("v0_conv_align", v0_conv_align),
                      ("v1_pad32_pallas", v1), ("v1_pad32_xla", v1_xla),
                      ("v4_pad8_xla", v4),
+                     ("v5_4tap_gemm", v5), ("v6_im2col_gemm", v6),
+                     ("v7_im2col_pad8", v7),
                      ("v2_fine_xla", v2), ("v3_downlevel_L1", v3)]:
         try:
             jf = jax.jit(fn)

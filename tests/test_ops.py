@@ -403,6 +403,12 @@ def test_phase2_kernels_vs_fine_grid(rng):
     got8 = phase2_conv3x3(p8, l2, up=False, relu=False, interleave=True)
     np.testing.assert_allclose(np.asarray(got8), np.asarray(gt8),
                                rtol=1e-4, atol=1e-5)
+    # r4 "l2gemm" RGB-tail formulation: 4 shifted GEMM accumulations of the
+    # same composed kernel (probe_conv8 v5) — exact vs the conv path
+    got8g = phase2_conv3x3(p8, l2, up=False, relu=False, interleave=True,
+                           gemm4=True)
+    np.testing.assert_allclose(np.asarray(got8g), np.asarray(gt8),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_pallas_patch_embed_parity(rng):
