@@ -424,7 +424,7 @@ def main():
                     help="force the decoder double-phase (L2) tail on/off "
                          "(--phase2 / --no-phase2); default follows "
                          "DecoderConfig.phase2_tail (on)")
-    ap.add_argument("--rgb_tail", choices=["l2", "l1", "l2gemm"],
+    ap.add_argument("--rgb_tail", choices=["l2", "l1", "l2gemm", "l2k128"],
                     default=None,
                     help="RGB-conv formulation under the phase2 tail; "
                          "default follows DecoderConfig.rgb_tail")

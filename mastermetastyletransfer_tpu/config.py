@@ -225,8 +225,11 @@ class DecoderConfig(_ConfigBase):
     # than it saves), Pallas RGB kernel (_RGB_KERNEL_ON — 249.0 / 361.1),
     # pad32 stencil, fine-grid XLA, explicit GEMMs (all slower isolated).
     # plus "l2gemm" (r4: the composed conv as 4 shifted GEMM accumulations —
-    # the XLA conv path runs ~7 TF/s at N=48; probe_conv8 v5 measures it
-    # ~7% faster isolated. A/B'd on the full bench before defaulting).
+    # full-bench WASH, pair 260.97 vs 261.74 / locked 386.65 vs 390.28; the
+    # isolated win does not survive in-context fusion) and "l2k128" (r4
+    # kernel v2, ops/pallas_conv.stencil_phase2_rgb128: dense N=128 tap
+    # GEMMs with 8-lane output slots + in-kernel lane-mask align — fixes
+    # both costs the first RGB kernel lost its A/B to).
     rgb_tail: str = "l2"
 
 

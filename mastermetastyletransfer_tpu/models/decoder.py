@@ -126,7 +126,9 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
                                    use_pallas=cfg.use_pallas
                                    and cfg.use_stencil_conv,
                                    gemm4=leave
-                                   and cfg.rgb_tail == "l2gemm")
+                                   and cfg.rgb_tail == "l2gemm",
+                                   k128=leave
+                                   and cfg.rgb_tail == "l2k128")
             level = 0 if leave else 2
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

@@ -8,6 +8,8 @@ pad + ReLU into it.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -292,7 +294,75 @@ def _phase2_kernel(w: jnp.ndarray, up: bool):
     return k, bases
 
 
+def _phase2_pad_maps(n: int, nph: int, up: bool):
+    """Per pad-slot phase g: (source index into the n-long axis, source
+    phase). Same maps as the reference construction below."""
+    if up:
+        return [(0, 0)] * nph, [(n - 1, 1)] * nph
+    top = [((4 - g) // 4, (4 - g) % 4) for g in range(4)]
+    bot = [(n - 1 - (1 if g == 3 else 0), (2 - g) % 4) for g in range(4)]
+    return top, bot
+
+
+def _pad_perm(maps, nph: int, c: int, row_axis: bool):
+    """Static lane-permutation matrices for one pad row/col: dst slot-phase
+    g keeps the OTHER axis' phase and the channel, swapping only this
+    axis' phase to the source's. Returns {source index: (C16, C16) 0/1}."""
+    import numpy as _np
+    n2c = nph * nph * c
+    out = {}
+    for g, (src, tp) in enumerate(maps):
+        P = out.setdefault(src, _np.zeros((n2c, n2c), _np.float32))
+        for o in range(nph):
+            if row_axis:
+                d0, s0 = (g * nph + o) * c, (tp * nph + o) * c
+            else:
+                d0, s0 = (o * nph + g) * c, (o * nph + tp) * c
+            P[s0:s0 + c, d0:d0 + c] = _np.eye(c)
+    return out
+
+
 def _phase2_pad(x: jnp.ndarray, nph: int, c: int, up: bool) -> jnp.ndarray:
+    """Fast `_phase2_pad_ref` (r4): the take/stack/concat construction below
+    lowers to strided lane-group gathers that cost 2.36 ms device on the
+    decoder's (8,128,128,512) L2 tensor (scripts/probe_tail_pieces.py) —
+    ~25x its bandwidth bound, and it runs in all three phase2 tail convs.
+    Each pad row/col is a pure LANE PERMUTATION of 1-2 source rows/cols, so
+    build it as (row @ P) with static 0/1 matrices — lane moves ride the
+    MXU (exact: every destination lane receives exactly one 1.0 product)
+    — and concatenate. Parity vs the reference construction in
+    tests/test_ops.py."""
+    b, h, w, c16 = x.shape
+    dt = x.dtype
+
+    def border(getter, maps, row_axis):
+        acc = None
+        for src, P in _pad_perm(maps, nph, c, row_axis).items():
+            t = getter(src) @ jnp.asarray(P, dt)
+            acc = t if acc is None else acc + t
+        return acc
+
+    top, bot = _phase2_pad_maps(h, nph, up)
+    trow = border(lambda s: x[:, s], top, True)          # (b, w, C16)
+    brow = border(lambda s: x[:, s], bot, True)
+    if os.environ.get("MMST_P2PAD", "concat") == "set":
+        # zero-pad + border dynamic-update-slices (A/B'd vs the concat
+        # assembly: pair 273.5 vs 275.9, locked 418.8 vs 418.6 — concat
+        # kept as default, this variant as the probe knob)
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        xp = xp.at[:, 0, 1:-1].set(trow).at[:, -1, 1:-1].set(brow)
+        topc, botc = _phase2_pad_maps(w, nph, up)
+        tcol = border(lambda s: xp[:, :, 1 + s], topc, False)
+        bcol = border(lambda s: xp[:, :, 1 + s], botc, False)
+        return xp.at[:, :, 0].set(tcol).at[:, :, -1].set(bcol)
+    x = jnp.concatenate([trow[:, None], x, brow[:, None]], axis=1)
+    topc, botc = _phase2_pad_maps(w, nph, up)
+    tcol = border(lambda s: x[:, :, s], topc, False)     # (b, h+2, C16)
+    bcol = border(lambda s: x[:, :, s], botc, False)
+    return jnp.concatenate([tcol[:, :, None], x, bcol[:, :, None]], axis=2)
+
+
+def _phase2_pad_ref(x: jnp.ndarray, nph: int, c: int, up: bool) -> jnp.ndarray:
     """Edge-pad one coarse row/col on each side of a phase tensor
     (B, H, W, nph^2*C) such that the padded values equal the FINE-grid
     reflect padding the reference applies (codes/decoder.py:24):
@@ -382,7 +452,8 @@ def l2_to_l1(p: jnp.ndarray) -> jnp.ndarray:
 def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
                    relu: bool = True, interleave: bool = False,
                    use_pallas: bool = False,
-                   gemm4: bool = False) -> jnp.ndarray:
+                   gemm4: bool = False,
+                   k128: bool = False) -> jnp.ndarray:
     """Exact fine-grid [upsample-2x ->] reflect-pad -> 3x3 conv evaluated in
     DOUBLE phase space. p: L1 phase tensor (B, H, W, 4C) when up, else L2
     (B, H, W, 16C). Returns the L2 phase tensor (B, H, W, 16*C_out), or the
@@ -407,6 +478,29 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
         interpret = jax.default_backend() != "tpu"
         return stencil_phase2_rgb_vjp(pp, k2, jnp.tile(params["bias"], 16),
                                       tuple(bases), relu, interpret)
+    if (k128 and not up and interleave and c_out <= 8
+            and pp.shape[-1] % 128 == 0):
+        # r4 RGB tail kernel v2 ("l2k128"): 4 dense N=128 tap GEMMs with
+        # the 16 x C' output lanes scattered to 8-lane slots, f32 VMEM
+        # accumulation, align as 4 shifted lane-mask adds in-kernel; the
+        # interleave runs here in XLA on the 8-lane groups and the fine
+        # grid materializes once, already RGB-sliced.
+        from mastermetastyletransfer_tpu.ops.pallas_conv import (
+            stencil_phase2_rgb128_vjp,
+        )
+        cin = pp.shape[-1]
+        kw = jnp.zeros((2, 2, cin, 16, 8), k2.dtype)
+        kw = kw.at[..., :c_out].set(k2.reshape(2, 2, cin, 16, c_out))
+        b128 = jnp.zeros((16, 8), jnp.float32)
+        b128 = b128.at[:, :c_out].set(
+            jnp.broadcast_to(params["bias"], (16, c_out)))
+        interpret = jax.default_backend() != "tpu"
+        out = stencil_phase2_rgb128_vjp(
+            pp, kw.reshape(2, 2, cin, 128), b128.reshape(128).astype(p.dtype),
+            tuple(bases), relu, interpret)
+        x6 = out.reshape(b, h, w, 4, 4, 8)
+        fine = x6.transpose(0, 1, 3, 2, 4, 5).reshape(b, 4 * h, 4 * w, 8)
+        return fine[..., :c_out]
     if use_pallas and c_out % 32 == 0 and (pp.shape[-1]) % 128 == 0:
         from mastermetastyletransfer_tpu.ops.pallas_conv import (
             stencil_phase2_conv,

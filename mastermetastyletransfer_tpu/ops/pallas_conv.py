@@ -547,6 +547,162 @@ stencil_phase2_rgb_vjp.defvjp(_rgb_fwd, _rgb_bwd)
 
 
 # ---------------------------------------------------------------------------
+# L2 RGB tail kernel v2 (r4, "l2k128"): the first RGB kernel above lost its
+# bench A/B (249 vs 258) to two costs this one removes — 16 narrow N=3
+# selection GEMMs for the group align, and the 3-lane fine-grid OUTPUT write
+# (tile-pads 3 lanes -> 128 on every store). v2 scatters the composed
+# kernel's 16 x 3 output lanes into 16 x 8-lane slots (N = 128: the SAME MXU
+# pass count — N<=128 is one N-tile either way), computes the unaligned big
+# tensor with 4 dense tap GEMMs accumulated in f32 VMEM, and performs the
+# generalized align as 4 shifted VPU mask-adds (each output lane's group
+# needs exactly one of the 4 (base_a, base_b) spatial shifts — a static
+# per-lane mask, no sub-32-lane slicing, no MXU). The fine 512^2 grid never
+# exists in-kernel: the caller interleaves the returned (B, H, W, 16*8)
+# aligned L2 tensor in XLA and slices lanes [:3].
+# In-context target: conv8 = 4.1 ms of the 8.6 ms decoder
+# (scripts/probe_decoder.py --phase2 deltas, PERF.md r4).
+# Reference semantics: codes/decoder.py:54 (final conv, no activation).
+# ---------------------------------------------------------------------------
+
+def _rgb128_kernel(xm_ref, xt_ref, w_ref, b_ref, m_ref, out_ref, *,
+                   relu: bool):
+    _, r, wp, cin = xm_ref.shape          # wp = W + 2
+    w = wp - 2
+    dt = xm_ref.dtype
+    f32 = jnp.float32
+    comb = jnp.concatenate([xm_ref[0], xt_ref[0]], axis=0)  # (r+2, wp, cin)
+    rb, wb = r + 1, w + 1
+    acc = None
+    for dy in range(2):
+        for dx in range(2):
+            v = comb[dy:dy + rb, dx:dx + wb, :].reshape(rb * wb, cin)
+            t = kdot(v, w_ref[dy, dx].astype(dt))
+            acc = t if acc is None else acc + t
+    big = acc + b_ref[0].astype(f32)      # (rb*wb, 128)
+    if relu:
+        big = jnp.maximum(big, 0.0)
+    big = big.reshape(rb, wb, 128)
+    out = None
+    for idx in range(4):
+        ba, bb = idx // 2, idx % 2
+        t = big[ba:ba + r, bb:bb + w, :] * m_ref[idx].astype(f32)
+        out = t if out is None else out + t
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _rgb128_pick_r(h: int, wp: int, cin: int, itemsize: int) -> int:
+    """Largest even divisor of h whose input view + f32 big + output block
+    stay ~4 MB (Mosaic double-buffers in/out on top)."""
+    best = 2 if h % 2 == 0 else 1
+    for r in range(2, h + 1, 2):
+        if h % r:
+            continue
+        need = ((r + 2) * wp * cin * itemsize
+                + (r + 1) * (wp - 1) * 128 * 4
+                + r * (wp - 2) * 128 * itemsize)
+        if need <= (4 << 20):
+            best = r
+    return best
+
+
+def stencil_phase2_rgb128(pp: jnp.ndarray, pk128: jnp.ndarray,
+                          bias128: jnp.ndarray, bases,
+                          relu: bool = False,
+                          interpret: bool = False) -> jnp.ndarray:
+    """pp: (B, H+2, W+2, 16C) custom-padded L2 input. pk128:
+    (2, 2, 16C, 128) composed kernel with group g's C'(=3) output lanes
+    scattered to lanes [8g : 8g+C'] (rest zero). bias128: (128,) likewise.
+    Returns the ALIGNED L2 phase tensor (B, H, W, 128) — group g's RGB in
+    lanes [8g : 8g+3]; the caller interleaves and slices."""
+    b, hp, wp, cin = pp.shape
+    h, w = hp - 2, wp - 2
+    assert cin % 128 == 0 and pk128.shape[-1] == 128, (cin, pk128.shape)
+    import numpy as _np
+    msk = _np.zeros((4, 1, 128), _np.float32)
+    for g in range(16):
+        a, bb_ = g // 4, g % 4
+        idx = bases[a] * 2 + bases[bb_]
+        msk[idx, 0, 8 * g:8 * g + 8] = 1.0
+    msk = jnp.asarray(msk)
+
+    r = _rgb128_pick_r(h, wp, cin, jnp.dtype(pp.dtype).itemsize)
+    if h % 2 or r % 2:
+        big = jax.lax.conv_general_dilated(
+            pp, pk128.astype(pp.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        big = big + bias128.astype(big.dtype)
+        if relu:
+            big = jnp.maximum(big, 0)
+        out = sum(big[:, ba:ba + h, bb:bb + w, :]
+                  * msk[ba * 2 + bb].astype(big.dtype)
+                  for ba in range(2) for bb in range(2))
+        return out.astype(pp.dtype)
+
+    mspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 2, wp, cin),
+                         lambda i, j, r=r: (i, (j * r + r) // 2, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(pk128.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    mskspec = pl.BlockSpec(msk.shape, lambda i, j: (0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, r, w, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_rgb128_kernel, relu=relu),
+        grid=(b, h // r),
+        in_specs=[mspec, tspec, wspec, bspec, mskspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w, 128), pp.dtype),
+        interpret=interpret,
+    )(pp, pp, pk128, bias128.reshape(1, 128), msk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def stencil_phase2_rgb128_vjp(pp, pk128, bias128, bases, relu=False,
+                              interpret=False):
+    """Differentiable wrapper (the tail is eval-only in training, but parity
+    tests grad it): backward = per-(base) mask scatter into the big
+    cotangent + conv linear transposes, recompute-free."""
+    return stencil_phase2_rgb128(pp, pk128, bias128, bases, relu, interpret)
+
+
+def _rgb128_fwd(pp, pk128, bias128, bases, relu, interpret):
+    y = stencil_phase2_rgb128_vjp(pp, pk128, bias128, bases, relu, interpret)
+    return y, (pp, pk128, bias128, y)
+
+
+def _rgb128_bwd(bases, relu, interpret, res, g):
+    pp, pk128, bias128, y = res
+    b, hp, wp, _ = pp.shape
+    h, w = hp - 2, wp - 2
+    if relu:
+        g = g * (y > 0).astype(g.dtype)
+    d_big = jnp.zeros((b, h + 1, w + 1, 128), g.dtype)
+    for gi in range(16):
+        a, bb_ = gi // 4, gi % 4
+        sl = slice(8 * gi, 8 * gi + 8)
+        d_big = d_big.at[:, bases[a]:bases[a] + h,
+                         bases[bb_]:bases[bb_] + w, sl].set(g[..., sl])
+    conv_pp = lambda t: jax.lax.conv_general_dilated(
+        t, pk128.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    conv_pk = lambda t: jax.lax.conv_general_dilated(
+        pp, t.astype(pp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    (d_pp,) = jax.linear_transpose(conv_pp, pp)(d_big.astype(pp.dtype))
+    (d_pk,) = jax.linear_transpose(conv_pk, pk128)(d_big.astype(pp.dtype))
+    d_bias = d_big.astype(jnp.float32).sum((0, 1, 2)).astype(bias128.dtype)
+    return d_pp, d_pk.astype(pk128.dtype), d_bias
+
+
+stencil_phase2_rgb128_vjp.defvjp(_rgb128_fwd, _rgb128_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Patch-embed kernel (r4): torchvision's 4x4-stride-4 patch embed on TPU is
 # a space-to-depth relayout of a 3-LANE image (125/128 lanes wasted in every
 # physical tile) — XLA pays ~7 ms at (16, 512, 512, 3) (scripts/probe_swin.py

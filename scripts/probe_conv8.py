@@ -172,6 +172,12 @@ def main():
             bb, 4 * l2g, 4 * l2g, 8)
         return fine[..., :3]
 
+    def v8(p, xx):
+        # r4 kernel v2: dense N=128 tap GEMMs + in-kernel lane-mask align,
+        # XLA interleave on 8-lane groups (ops/pallas_conv.rgb128)
+        return C.phase2_conv3x3(p, xx, up=False, relu=False,
+                                interleave=True, k128=True)
+
     def v2(p, xx):
         fine = C.phase_interleave2(xx)
         return C.reflect_conv(p, fine, relu=False)
@@ -192,7 +198,7 @@ def main():
                      ("v1_pad32_pallas", v1), ("v1_pad32_xla", v1_xla),
                      ("v4_pad8_xla", v4),
                      ("v5_4tap_gemm", v5), ("v6_im2col_gemm", v6),
-                     ("v7_im2col_pad8", v7),
+                     ("v7_im2col_pad8", v7), ("v8_k128_kernel", v8),
                      ("v2_fine_xla", v2), ("v3_downlevel_L1", v3)]:
         try:
             jf = jax.jit(fn)

@@ -380,6 +380,25 @@ def test_cnn_decoder_phase2_tail_exact_and_grad(rng):
                                    rtol=1e-3, atol=5e-4)
 
 
+def test_phase2_pad_fast_vs_ref(rng):
+    """r4 fast _phase2_pad (lane-permutation matmul borders) is EXACT vs
+    the reference take/stack/concat construction, both dtypes, both pad
+    modes, non-square grids."""
+    from mastermetastyletransfer_tpu.ops.conv import (
+        _phase2_pad, _phase2_pad_ref,
+    )
+
+    for nph, c, up in [(4, 32, False), (2, 64, True), (4, 32, True),
+                       (2, 16, True)]:
+        x = jnp.asarray(rng.standard_normal(
+            (2, 6, 10, nph * nph * c)).astype(np.float32))
+        for xx in (x, x.astype(jnp.bfloat16)):
+            a = _phase2_pad_ref(xx, nph, c, up)
+            b = _phase2_pad(xx, nph, c, up)
+            assert a.dtype == b.dtype and a.shape == b.shape
+            assert jnp.array_equal(a, b)
+
+
 def test_phase2_kernels_vs_fine_grid(rng):
     """The composed L2 kernels + custom reflect-equivalent pads are exact
     against the fine-grid ground truth, borders included."""
@@ -409,6 +428,22 @@ def test_phase2_kernels_vs_fine_grid(rng):
                            gemm4=True)
     np.testing.assert_allclose(np.asarray(got8g), np.asarray(gt8),
                                rtol=1e-4, atol=1e-5)
+    # r4 "l2k128" RGB-tail kernel v2 (dense N=128 tap GEMMs + lane-mask
+    # align; interpret on CPU) — forward and grads vs the conv path
+    f_ref = lambda pr: jnp.sum(jnp.square(phase2_conv3x3(
+        pr, l2, up=False, relu=False, interleave=True)))
+    f_k = lambda pr: jnp.sum(jnp.square(phase2_conv3x3(
+        pr, l2, up=False, relu=False, interleave=True, k128=True)))
+    got8k = phase2_conv3x3(p8, l2, up=False, relu=False, interleave=True,
+                           k128=True)
+    np.testing.assert_allclose(np.asarray(got8k), np.asarray(gt8),
+                               rtol=1e-4, atol=1e-5)
+    g_ref = jax.grad(f_ref)(p8)
+    g_k = jax.grad(f_k)(p8)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_k)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=5e-4)
 
 
 def test_pallas_patch_embed_parity(rng):
