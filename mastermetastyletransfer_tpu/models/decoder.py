@@ -8,6 +8,8 @@ stay NHWC), convs as XLA conv_general_dilated on the MXU with pad+ReLU fused.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -17,6 +19,12 @@ from mastermetastyletransfer_tpu.ops.conv import (
     phase_interleave2, reflect_conv, upsample_conv_fused, upsample_nearest,
 )
 from mastermetastyletransfer_tpu.ops.precision import applies_matmul_mode
+
+
+def _p2chain_on() -> bool:
+    """Padded-output chaining kill-switch (r4): default ON; set
+    MMST_P2CHAIN=0 to A/B the per-conv _phase2_pad path."""
+    return os.environ.get("MMST_P2CHAIN", "1") != "0"
 
 
 def _channel_plan(c: int):
@@ -63,6 +71,7 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
     n = len(plan)
     pending_up = False   # previous conv was marked upsample-after
     level = 0            # phase level of x: 0 plain, 1 (2x2), 2 (4x4)
+    x_padded = False     # x carries a chained +1 phase-pad border
     for i, (_, _, up) in enumerate(plan):
         if upto is not None and i > upto:
             break
@@ -88,11 +97,25 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
         phase2_next = (cfg.phase2_tail and deterministic and up and i + 1 < n
                        and i + 1 < cfg.phase_exit
                        and not any(u2 for _, _, u2 in plan[i + 1:]))
+        # padded-output chaining (r4): each non-final phase2 tail conv can
+        # emit its output WITH the +1 phase-pad border synthesized in the
+        # stencil kernel, so the next conv skips its standalone _phase2_pad
+        # (1.28 ms device per 512-lane pad — PERF.md r4 pad decomposition).
+        stencil_on = cfg.use_pallas and cfg.use_stencil_conv
+        chain = stencil_on and _p2chain_on()
+
+        def consumes_pp(j):
+            # conv j consumes a padded L2 tensor directly (stays in the
+            # phase2 tail and is not the l2_to_l1 RGB variant)
+            return (j < n and j < cfg.phase_exit
+                    and not (j == n - 1 and cfg.rgb_tail == "l1"))
+
         if pending_up and level == 1:
             # last upsample -> L2 phase up-conv (phase2_tail path)
+            emit = chain and consumes_pp(i + 1)
             x = phase2_conv3x3(params[f"conv{i}"], x, up=True, relu=relu,
-                               use_pallas=cfg.use_pallas
-                               and cfg.use_stencil_conv)
+                               use_pallas=stencil_on, emit_padded=emit)
+            x_padded = emit
             level = 2
         elif pending_up:
             x = upsample_conv_fused(params[f"conv{i}"], x, relu=relu,
@@ -121,14 +144,17 @@ def cnn_decoder_apply(params: dict, x: jnp.ndarray, cfg: DecoderConfig,
                                   use_pallas=cfg.use_pallas,
                                   stencil=cfg.use_stencil_conv)
             else:
+                emit = (not leave) and chain and consumes_pp(i + 1)
                 x = phase2_conv3x3(params[f"conv{i}"], x, up=False,
                                    relu=relu, interleave=leave,
-                                   use_pallas=cfg.use_pallas
-                                   and cfg.use_stencil_conv,
+                                   use_pallas=stencil_on,
                                    gemm4=leave
                                    and cfg.rgb_tail == "l2gemm",
                                    k128=leave
-                                   and cfg.rgb_tail == "l2k128")
+                                   and cfg.rgb_tail == "l2k128",
+                                   in_padded=x_padded,
+                                   emit_padded=emit)
+                x_padded = emit
             level = 0 if leave else 2
         else:
             x = reflect_conv(params[f"conv{i}"], x, relu=relu)

@@ -8,6 +8,7 @@ pad + ReLU into it.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -362,6 +363,81 @@ def _phase2_pad(x: jnp.ndarray, nph: int, c: int, up: bool) -> jnp.ndarray:
     return jnp.concatenate([tcol[:, :, None], x, bcol[:, :, None]], axis=2)
 
 
+def _phase2_col_perms(nph: int, c: int, w: int, dtype) -> jnp.ndarray:
+    """(4, C16, C16) 0/1 lane-permutation matrices for the in-kernel column
+    borders of an emitted L2 output (up=False maps), ordered
+    [left@src0, left@src1, right@src W-1, right@src W-2]
+    (stencil_phase2_conv_padcols)."""
+    import numpy as _np
+    top, bot = _phase2_pad_maps(w, nph, False)
+    pt = _pad_perm(top, nph, c, False)
+    pb = _pad_perm(bot, nph, c, False)
+    n2c = nph * nph * c
+    z = _np.zeros((n2c, n2c), _np.float32)
+    mats = [pt.get(0, z), pt.get(1, z), pb.get(w - 1, z), pb.get(w - 2, z)]
+    return jnp.asarray(_np.stack(mats), dtype)
+
+
+def _phase2_pad_rows(y: jnp.ndarray, nph: int, c: int) -> jnp.ndarray:
+    """Add the two phase-pad ROWS to a column-padded L2 tensor
+    (B, H, W+2, C16) -> (B, H+2, W+2, C16). Row borders are lane perms of
+    rows 0/1 and H-1/H-2 of the COLUMN-PADDED tensor: row relabeling swaps
+    the a-phase lane group and column relabeling the b-phase group, so the
+    two commute and the corners match _phase2_pad's
+    rows-then-columns order exactly (parity-tested in tests/test_ops.py)."""
+    b, h, wp, _ = y.shape
+    dt = y.dtype
+    top, bot = _phase2_pad_maps(h, nph, False)
+
+    def border(maps):
+        acc = None
+        for src, P in _pad_perm(maps, nph, c, True).items():
+            t = y[:, src] @ jnp.asarray(P, dt)
+            acc = t if acc is None else acc + t
+        return acc
+
+    trow, brow = border(top), border(bot)
+    return jnp.concatenate([trow[:, None], y, brow[:, None]], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _phase2_conv_emit(pp, k2, bias16, c_out, bases, present, relu,
+                      interpret):
+    """Stencil phase2 conv emitting the PADDED output (padded-output
+    chaining): columns in-kernel (stencil_phase2_conv_padcols), rows via
+    one H-concat. Differentiable so the exactness tests can grad the
+    deterministic phase2 path: the pad is linear, so the backward
+    transposes it onto the plain-output grad and reuses the stencil conv's
+    recompute-free backward (pallas_conv._stencil2_bwd)."""
+    from mastermetastyletransfer_tpu.ops.pallas_conv import (
+        stencil_phase2_conv_padcols,
+    )
+    perms = _phase2_col_perms(4, c_out, pp.shape[2] - 2, pp.dtype)
+    out = stencil_phase2_conv_padcols(pp, k2, bias16, perms, bases, present,
+                                      relu, interpret)
+    return _phase2_pad_rows(out, 4, c_out)
+
+
+def _emit_fwd(pp, k2, bias16, c_out, bases, present, relu, interpret):
+    padded = _phase2_conv_emit(pp, k2, bias16, c_out, bases, present, relu,
+                               interpret)
+    # the interior IS the plain output (pad exactness), so the stencil
+    # backward's ReLU mask can come from the saved padded tensor
+    return padded, (pp, k2, bias16, padded[:, 1:-1, 1:-1])
+
+
+def _emit_bwd(c_out, bases, present, relu, interpret, res, g):
+    from mastermetastyletransfer_tpu.ops.pallas_conv import _stencil2_bwd
+    pp, k2, bias16, y = res
+    (d_y,) = jax.linear_transpose(
+        lambda t: _phase2_pad(t, 4, c_out, False), y)(g)
+    return _stencil2_bwd(bases, present, relu, interpret,
+                         (pp, k2, bias16, y), d_y)
+
+
+_phase2_conv_emit.defvjp(_emit_fwd, _emit_bwd)
+
+
 def _phase2_pad_ref(x: jnp.ndarray, nph: int, c: int, up: bool) -> jnp.ndarray:
     """Edge-pad one coarse row/col on each side of a phase tensor
     (B, H, W, nph^2*C) such that the padded values equal the FINE-grid
@@ -453,17 +529,29 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
                    relu: bool = True, interleave: bool = False,
                    use_pallas: bool = False,
                    gemm4: bool = False,
-                   k128: bool = False) -> jnp.ndarray:
+                   k128: bool = False,
+                   in_padded: bool = False,
+                   emit_padded: bool = False) -> jnp.ndarray:
     """Exact fine-grid [upsample-2x ->] reflect-pad -> 3x3 conv evaluated in
     DOUBLE phase space. p: L1 phase tensor (B, H, W, 4C) when up, else L2
     (B, H, W, 16C). Returns the L2 phase tensor (B, H, W, 16*C_out), or the
-    (B, 4H, 4W, C_out) fine grid when `interleave`."""
+    (B, 4H, 4W, C_out) fine grid when `interleave`.
+
+    in_padded: p already carries the +1 phase-pad border (a previous conv
+    emitted it) — _phase2_pad is skipped. emit_padded: return the output
+    WITH its own pad border, (B, H+2, W+2, 16*C_out): the stencil kernel
+    synthesizes the columns in-VMEM (stencil_phase2_conv_padcols) and the
+    rows are one H-concat; chained tail convs then skip the standalone pad
+    entirely (PERF.md r4 pad decomposition)."""
+    assert not (emit_padded and interleave)
     b, h, w, _ = p.shape
+    if in_padded:
+        h, w = h - 2, w - 2
     wk = params["kernel"]
     c_in, c_out = wk.shape[2], wk.shape[3]
     k2, bases = _phase2_kernel(wk.astype(jnp.float32), up)
     k2 = k2.astype(p.dtype)
-    pp = _phase2_pad(p, 2 if up else 4, c_in, up)
+    pp = p if in_padded else _phase2_pad(p, 2 if up else 4, c_in, up)
     if (use_pallas and not up and interleave and c_out < 32
             and pp.shape[-1] % 128 == 0 and _RGB_KERNEL_ON):
         # RGB tail kernel — conv + generalized align + interleave in one
@@ -512,6 +600,10 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
         present = tuple(tuple((dy, dx) for dy in dys[a] for dx in dys[b])
                         for a in range(4) for b in range(4))
         interpret = jax.default_backend() != "tpu"
+        if emit_padded:
+            return _phase2_conv_emit(pp, k2, jnp.tile(params["bias"], 16),
+                                     c_out, tuple(bases), present, relu,
+                                     interpret)
         out = stencil_phase2_conv(pp, k2, jnp.tile(params["bias"], 16),
                                   tuple(bases), present, relu, interpret)
     elif gemm4:
@@ -541,6 +633,9 @@ def phase2_conv3x3(params: dict, p: jnp.ndarray, *, up: bool,
         if relu:
             big = jnp.maximum(big, 0)
         out = _align2(big, h, w, c_out, bases)
+    if emit_padded:
+        # non-stencil formulations pad the finished output the plain way
+        return _phase2_pad(out, 4, c_out, False)
     return phase_interleave2(out) if interleave else out
 
 

@@ -152,11 +152,14 @@ def _stencil_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
     out_ref[0] = y.reshape(r, w, 4 * c_out).astype(out_ref.dtype)
 
 
-def _pick_r(h: int, wp: int, cin: int, c4: int, itemsize: int) -> int:
+def _pick_r(h: int, wp: int, cin: int, c4: int, itemsize: int,
+            reserve: int = 0) -> int:
     """Row tile (EVEN, dividing h — the 2-row tail block index is
     (j*r+r)/2): one streamed input view + the f32 accumulators + the output
-    block must fit scoped VMEM with double buffering."""
-    cap = max(2, (1 << 20) // (wp * (cin * itemsize + 4 * c4)))
+    block must fit scoped VMEM with double buffering. `reserve` shrinks the
+    proxy budget for kernels that hold extra VMEM-resident operands (the
+    padcols perm matrices), already scaled to the proxy's ~1/16 ratio."""
+    cap = max(2, ((1 << 20) - reserve) // (wp * (cin * itemsize + 4 * c4)))
     for t in range(min(cap, h) - min(cap, h) % 2, 1, -2):
         if h % t == 0:
             return t
@@ -280,8 +283,11 @@ stencil_phase_conv.defvjp(_stencil_fwd, _stencil_bwd)
 # Reference semantics: codes/decoder.py:25-27 (last upsample + conv).
 # ---------------------------------------------------------------------------
 
-def _stencil2_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
-                     c_out: int, relu: bool, bases, present):
+def _stencil2_accum(xm_ref, xt_ref, w_ref, b_ref, *,
+                    c_out: int, relu: bool, bases, present):
+    """Shared body of the phase2 stencil kernels: the 36 nonzero tap GEMMs
+    of the composed (2,2,Cin,16C') kernel with align folded into the read
+    offsets. Returns the f32 (r*w, 16*c_out) block."""
     _, r, wp, cin = xm_ref.shape
     w = wp - 2
     rows = r * w
@@ -303,7 +309,46 @@ def _stencil2_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
     y = jnp.concatenate(outs, axis=-1) + b_ref[0].astype(f32)
     if relu:
         y = jnp.maximum(y, 0.0)
+    return y
+
+
+def _stencil2_kernel(xm_ref, xt_ref, w_ref, b_ref, out_ref, *,
+                     c_out: int, relu: bool, bases, present):
+    _, r, wp, _ = xm_ref.shape
+    w = wp - 2
+    y = _stencil2_accum(xm_ref, xt_ref, w_ref, b_ref, c_out=c_out,
+                        relu=relu, bases=bases, present=present)
     out_ref[0] = y.reshape(r, w, 16 * c_out).astype(out_ref.dtype)
+
+
+def _stencil2_padcols_kernel(xm_ref, xt_ref, w_ref, b_ref, perm_ref, out_ref,
+                             *, c_out: int, relu: bool, bases, present):
+    """_stencil2_kernel + in-VMEM column-border synthesis: the output block
+    is emitted (r, w+2, 16c') with [:, 0]/[:, w+1] holding the phase-pad
+    columns the NEXT phase2 conv would otherwise build with _phase2_pad
+    (ops/conv.py) — each border column is a pure lane permutation of 1-2
+    output columns, applied as (r, C16) @ (C16, C16) 0/1 matmuls on the
+    ALREADY-ROUNDED output values, so the pad is exact (every destination
+    lane receives one 1.0 product)."""
+    _, r, wp, _ = xm_ref.shape
+    w = wp - 2
+    c16 = 16 * c_out
+    dt = out_ref.dtype
+    y = _stencil2_accum(xm_ref, xt_ref, w_ref, b_ref, c_out=c_out,
+                        relu=relu, bases=bases, present=present)
+    y3 = y.reshape(r, w, c16).astype(dt)
+    f32 = jnp.float32
+
+    def pcol(srcs, p0, p1):
+        a = jnp.dot(y3[:, srcs[0]], perm_ref[p0].astype(dt),
+                    preferred_element_type=f32)
+        b = jnp.dot(y3[:, srcs[1]], perm_ref[p1].astype(dt),
+                    preferred_element_type=f32)
+        return (a + b).astype(dt)
+
+    lcol = pcol((0, 1), 0, 1)
+    rcol = pcol((w - 1, w - 2), 2, 3)
+    out_ref[0] = jnp.concatenate([lcol[:, None], y3, rcol[:, None]], axis=1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -398,6 +443,65 @@ def _stencil2_bwd(bases, present, relu, interpret, res, g):
 
 
 stencil_phase2_conv.defvjp(_stencil2_fwd, _stencil2_bwd)
+
+
+def stencil_phase2_conv_padcols(pp: jnp.ndarray, pk: jnp.ndarray,
+                                bias16: jnp.ndarray, perms: jnp.ndarray,
+                                bases, present, relu: bool = True,
+                                interpret: bool = False) -> jnp.ndarray:
+    """stencil_phase2_conv that also emits the output's phase-pad COLUMNS:
+    returns (B, H, W+2, 16C') where [:, :, 0] / [:, :, -1] are the L2 pad
+    columns ops/conv.py:_phase2_pad would build for the NEXT phase2 conv.
+    perms: (4, 16C', 16C') static 0/1 lane-permutation matrices ordered
+    [left@src-col0, left@src-col1, right@src-col W-1, right@src-col W-2]
+    (ops/conv.py:_phase2_col_perms). The caller completes the pad with the
+    two ROWS via one H-concat (_phase2_pad_rows — row and column phase
+    relabelings commute, so corners come out exact). Eval-only: no VJP —
+    the phase2 tail is gated on `deterministic` (models/decoder.py).
+
+    Why: chaining padded outputs removes the standalone _phase2_pad of the
+    next tail conv (1.28 ms device on the (8,128,128,512) L2 tensor even
+    after the r4 lane-permutation rewrite — PERF.md)."""
+    b, hp, wp, cin = pp.shape
+    h, w = hp - 2, wp - 2
+    c16 = pk.shape[-1]
+    c_out = c16 // 16
+    assert cin % 128 == 0 and c_out % 32 == 0, (cin, c_out)
+    item = jnp.dtype(pp.dtype).itemsize
+    r = _pick_r(h, wp, cin, c16 // 4, item,
+                reserve=(4 * c16 * c16 * item) // 16)
+    if h % 2 or r % 2:
+        y = _stencil2_xla_equiv(pp, pk, bias16, bases, relu, c_out)
+        pm = perms.astype(y.dtype)
+        lcol = jnp.einsum("bhc,cd->bhd", y[:, :, 0], pm[0]) + \
+            jnp.einsum("bhc,cd->bhd", y[:, :, 1], pm[1])
+        rcol = jnp.einsum("bhc,cd->bhd", y[:, :, -1], pm[2]) + \
+            jnp.einsum("bhc,cd->bhd", y[:, :, -2], pm[3])
+        return jnp.concatenate(
+            [lcol[:, :, None].astype(y.dtype), y,
+             rcol[:, :, None].astype(y.dtype)], axis=2)
+    mspec = pl.BlockSpec((1, r, wp, cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 2, wp, cin),
+                         lambda i, j, r=r: (i, (j * r + r) // 2, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(pk.shape, lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, c16), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec(perms.shape, lambda i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, r, w + 2, c16), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stencil2_padcols_kernel, c_out=c_out, relu=relu,
+                          bases=tuple(bases), present=tuple(present)),
+        grid=(b, h // r),
+        in_specs=[mspec, tspec, wspec, bspec, pspec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, h, w + 2, c16), pp.dtype),
+        interpret=interpret,
+    )(pp, pp, pk, bias16.reshape(1, c16), perms.astype(pp.dtype))
 
 
 # ---------------------------------------------------------------------------

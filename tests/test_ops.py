@@ -399,6 +399,60 @@ def test_phase2_pad_fast_vs_ref(rng):
             assert jnp.array_equal(a, b)
 
 
+def test_phase2_padded_chain_parity(rng, monkeypatch):
+    """r4 padded-output chaining: a phase2 conv with emit_padded=True
+    returns exactly _phase2_pad(plain output) — in-kernel column borders
+    (lane-perm matmuls) + XLA row concat, corners included (the row/column
+    phase relabelings commute) — and a conv consuming in_padded input
+    matches the pad-then-conv composition. Covers the Pallas kernel
+    (interpret on CPU), the odd-h XLA fallback, and the full decoder
+    chain on/off A/B."""
+    import jax
+    import jax.numpy as jnp
+    from mastermetastyletransfer_tpu.ops.conv import (
+        _phase2_pad, init_conv, phase2_conv3x3,
+    )
+
+    c, co = 32, 32
+    p7 = init_conv(jax.random.PRNGKey(1), c, co)
+    p7b = init_conv(jax.random.PRNGKey(3), co, co)
+    for h, w in [(6, 10), (5, 7)]:   # even (kernel) and odd (XLA fallback)
+        l1 = jnp.asarray(rng.standard_normal(
+            (2, h, w, 4 * c)).astype(np.float32))
+        plain = phase2_conv3x3(p7, l1, up=True, relu=True, use_pallas=True)
+        padded = phase2_conv3x3(p7, l1, up=True, relu=True, use_pallas=True,
+                                emit_padded=True)
+        assert padded.shape == (2, h + 2, w + 2, 16 * co)
+        assert jnp.array_equal(padded, _phase2_pad(plain, 4, co, False))
+        # consuming the chained pad == padding the plain output
+        ref2 = phase2_conv3x3(p7b, plain, up=False, relu=True,
+                              use_pallas=True)
+        got2 = phase2_conv3x3(p7b, padded, up=False, relu=True,
+                              use_pallas=True, in_padded=True)
+        assert jnp.array_equal(ref2, got2)
+        # non-stencil emit path (XLA formulations pad the finished output)
+        padded_x = phase2_conv3x3(p7, l1, up=True, relu=True,
+                                  use_pallas=False, emit_padded=True)
+        plain_x = phase2_conv3x3(p7, l1, up=True, relu=True,
+                                 use_pallas=False)
+        assert jnp.array_equal(padded_x, _phase2_pad(plain_x, 4, co, False))
+
+    # decoder-level A/B: the chain env kill-switch changes nothing
+    from mastermetastyletransfer_tpu.config import DecoderConfig
+    from mastermetastyletransfer_tpu.models.decoder import (
+        cnn_decoder_apply, init_cnn_decoder,
+    )
+    dp = init_cnn_decoder(jax.random.PRNGKey(0), DecoderConfig())
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32))
+    x = x * 0.1
+    cfg = DecoderConfig(phase2_tail=True, use_pallas=True)
+    monkeypatch.setenv("MMST_P2CHAIN", "0")
+    off = cnn_decoder_apply(dp, x, cfg)
+    monkeypatch.setenv("MMST_P2CHAIN", "1")
+    on = cnn_decoder_apply(dp, x, cfg)
+    assert jnp.array_equal(on, off)
+
+
 def test_phase2_kernels_vs_fine_grid(rng):
     """The composed L2 kernels + custom reflect-equivalent pads are exact
     against the fine-grid ground truth, borders included."""
