@@ -84,10 +84,17 @@ def make_lambda_sweep_fn(cfg: ModelConfig, k: int = 1):
     `stack_params`).
     """
     def sweep(stacked_params, content, style):
-        return jax.vmap(
-            lambda p: master_apply(p, content, style, cfg, k=k,
-                                   deterministic=True)
-        )(stacked_params)
+        # the vmapped graph holds L stacked live buffers around every
+        # kernel, which costs scoped-VMEM headroom the 512^2-calibrated
+        # budgets assume free (measured r4: the row-resident block kernel
+        # scope-OOMs 16.12M/16.00M under the 2-set vmap). Halve every
+        # kernel budget at trace time for deterministic fit (ops/vmem.py).
+        from mastermetastyletransfer_tpu.ops.vmem import vmem_budget_scale
+        with vmem_budget_scale(0.5):
+            return jax.vmap(
+                lambda p: master_apply(p, content, style, cfg, k=k,
+                                       deterministic=True)
+            )(stacked_params)
     return jax.jit(sweep)
 
 

@@ -278,8 +278,12 @@ def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072,
 
     MMST_BSUB_BUDGET_SCALE (float, probe knob): scales every kernel's
     element budget — the r4 high-res sweep lever (budgets were calibrated
-    at 512^2 batch 8)."""
+    at 512^2 batch 8). ops/vmem.budget_scale composes on top (trace-time
+    scaling for callers that embed the model in heavier graphs, e.g. the
+    lambda-sweep vmap)."""
+    from mastermetastyletransfer_tpu.ops.vmem import budget_scale
     scale = float(os.environ.get("MMST_BSUB_BUDGET_SCALE", "1"))
+    scale *= budget_scale()
     if scale != 1.0:
         budget = int(budget * scale)
     cap = min(8, max(1, (budget * 4 // (itemsize * itemsize)) // (c * twn)))

@@ -67,9 +67,11 @@ def _default_budget_rows(hidden: int, itemsize: int) -> int:
     holds ~4 live (tile, hidden) intermediates vs the forward's 1-2.
 
     MMST_MLP_ROW_SCALE (float, probe knob): scales the budget — the r4
-    high-res sweep lever (calibrated at 512^2 batch 8)."""
+    high-res sweep lever (calibrated at 512^2 batch 8). ops/vmem's
+    trace-time budget_scale composes on top (lambda-sweep vmap)."""
+    from mastermetastyletransfer_tpu.ops.vmem import budget_scale
     rows = max(256, min(1024, (1 << 22) // hidden)) * 2 // itemsize
-    scale = float(os.environ.get("MMST_MLP_ROW_SCALE", "1"))
+    scale = float(os.environ.get("MMST_MLP_ROW_SCALE", "1")) * budget_scale()
     return rows if scale == 1.0 else max(8, int(rows * scale) // 8 * 8)
 
 

@@ -236,3 +236,29 @@ def test_full_model_pallas_split3_compliant():
     mae = np.abs(out - ref).mean()
     assert mae <= 1e-3, mae
     assert mae > 0.0  # split3 is live, not silently falling back to f32
+
+
+def test_vmem_budget_scale_contextvar():
+    """ops/vmem trace-time budget scaling: composes multiplicatively,
+    resets on exit, and shrinks the kernels' picked tiles (the lambda-sweep
+    vmap fix — the 2-set sweep scope-OOM'd the row-resident kernel at
+    16.12M/16.00M with the calibrated budgets, r4)."""
+    from mastermetastyletransfer_tpu.ops.pallas_attention import _pick_bsub
+    from mastermetastyletransfer_tpu.ops.pallas_mlp import (
+        _default_budget_rows,
+    )
+    from mastermetastyletransfer_tpu.ops.vmem import (
+        budget_scale, vmem_budget_scale,
+    )
+
+    assert budget_scale() == 1.0
+    base_bsub = _pick_bsub(8, 128, 245)
+    base_rows = _default_budget_rows(1024, 2)
+    with vmem_budget_scale(0.5):
+        assert budget_scale() == 0.5
+        with vmem_budget_scale(0.5):
+            assert budget_scale() == 0.25
+            assert _pick_bsub(8, 128, 245) <= max(1, base_bsub // 2)
+        assert _default_budget_rows(1024, 2) <= base_rows // 2 + 8
+    assert budget_scale() == 1.0
+    assert _pick_bsub(8, 128, 245) == base_bsub
