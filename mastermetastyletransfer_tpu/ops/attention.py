@@ -158,9 +158,11 @@ def _pallas_dim_ok(dim: int) -> bool:
 
 
 def _pallas_ok(cfg: AttentionConfig, deterministic: bool) -> bool:
-    """Single-V fused attention has a custom VJP (ops/pallas_attention_vjp)
-    so it serves training too when attention dropout is off (the reference
-    default); the dual-V / two-V / whole-block kernels are eval-only."""
+    """The single-V and dual/two-V fused attentions have custom VJPs
+    (ops/pallas_attention_vjp.window_attention / window_attention_dual) so
+    they serve training too when attention dropout is off (the reference
+    default); only the whole-block / iteration-fusion kernels are
+    eval-only (gated by _pallas_eval_ok)."""
     return cfg.use_pallas and _pallas_dim_ok(cfg.dim) and (
         deterministic or (cfg.dropout == 0.0 and cfg.attention_dropout == 0.0))
 
