@@ -10,6 +10,30 @@ the per-step budget: LN1, qkv GEMM, attention dots, softmax
 
 Ablations change numerics — timing only.
 
+RESULT (stage-1: b=16, nt=tw=19, c=128, heads=4, bsub=2 -> 152 grid
+steps; measured 2026-08-20, TPU v5lite, median of 5x10 iters):
+
+  full 6.63 ms | no_ln1 6.57 | no_qkv 6.36 | no_attndots 4.89 |
+  no_softmax 5.69 | no_proj 6.30 | no_ln2 7.00 | no_fc1 5.51 |
+  no_gelu 6.28 | no_fc2 5.33 | attn_only 5.21 | mlp_only 5.18
+
+Interpretation (subtract the ~1.7 ms per-call dispatch first):
+  device full ~4.93 ms. attn_only/mlp_only give the clean split:
+  whole-attention increment ~1.45 ms (29%), whole-MLP ~1.42 ms (29%),
+  SHARED FLOOR ~2.06 ms (42%, ~13.6 us/step) = x read + reshape +
+  one LN + f32 residual stream + bf16 cast + write. That floor is
+  ~10x the HBM bound of its ~1 MB/step I/O -> the stage-1 block is
+  bound by in-kernel data movement / VPU layout work, not by any
+  single matmul or the softmax. Single-piece deltas are NON-ADDITIVE
+  (removed work overlaps: sum of deltas 5.8 ms >> 4.93-floor) — do
+  not read them as a budget; no_ln2's negative delta is scheduling
+  noise. Consistent with probe_attngroup's wash: halving the dot
+  count leaves the streamed-rows floor unchanged. Remaining levers
+  at this shape would need to cut the shared floor itself (fewer,
+  larger grid steps — blocked by the 16 MB scoped-VMEM budget, see
+  PERF.md "budget-scale A/B CLOSED" — or cross-block fusion, which
+  needs halo-dependent cross-step reads the grid cannot express).
+
 Usage: python scripts/probe_blockcost.py [--stage2]
 """
 
