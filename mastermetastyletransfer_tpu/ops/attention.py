@@ -331,8 +331,11 @@ def shifted_window_attention_two_v(params: dict, q_in: jnp.ndarray,
     q=k=Key and all weights (reference: codes/style_transformer.py:867-882
     computes the identical softmax twice; here it runs once).
 
-    Pallas fast path only (eval); callers fall back to two
-    shifted_window_attention calls otherwise.
+    Pallas fast path; window_attention_dual carries a custom VJP so this
+    serves training too whenever both dropouts are off (the kernel has no
+    attention-dropout) — callers gate accordingly (style_transformer.py
+    encoder fused_attn_ok) and fall back to two shifted_window_attention
+    calls otherwise.
     """
     from mastermetastyletransfer_tpu.ops.pallas_attention_vjp import (
         window_attention_dual,
