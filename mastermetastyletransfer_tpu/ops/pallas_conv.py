@@ -340,10 +340,13 @@ def _stencil2_padcols_kernel(xm_ref, xt_ref, w_ref, b_ref, perm_ref, out_ref,
     f32 = jnp.float32
 
     def pcol(srcs, p0, p1):
-        a = jnp.dot(y3[:, srcs[0]], perm_ref[p0].astype(dt),
-                    preferred_element_type=f32)
-        b = jnp.dot(y3[:, srcs[1]], perm_ref[p1].astype(dt),
-                    preferred_element_type=f32)
+        # kdot, not jnp.dot: an ambient matmul precision 'high' (the split3
+        # compliant point sets it for the XLA parts) must never reach a
+        # Mosaic dot — Mosaic rejects HIGH (ops/precision.py docstring).
+        # Caught live in r5: the float32-split3+pallas operating point
+        # crashed here ("Unsupported dot precision: HIGH").
+        a = kdot(y3[:, srcs[0]], perm_ref[p0].astype(dt))
+        b = kdot(y3[:, srcs[1]], perm_ref[p1].astype(dt))
         return (a + b).astype(dt)
 
     lcol = pcol((0, 1), 0, 1)

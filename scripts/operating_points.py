@@ -95,7 +95,8 @@ def main():
     ap.add_argument("--points",
                     default="float32,float32-default,float32-high,"
                             "float32+pallas,float32-split3+pallas,"
-                            "bfloat16,bfloat16+pallas",
+                            "bfloat16,bfloat16+pallas,"
+                            "bfloat16+pallas-locked,float32+pallas-locked",
                     help="comma list from {float32, float32-default, "
                          "float32-high, float32+pallas, float32-split3+pallas, "
                          "bfloat16, bfloat16+pallas}. Plain 'float32' "
@@ -109,7 +110,10 @@ def main():
                          "Also: mix-<swin><st><dec>[+pallas] with letters in "
                          "{b, F} = the r4 per-stage dtype policy, e.g. "
                          "mix-bFF+pallas (bf16 swin, f32 transformer+decoder; "
-                         "stage contexts pin per-stage matmul precision).")
+                         "stage contexts pin per-stage matmul precision). "
+                         "Any point may carry a '-locked' suffix (r5): the "
+                         "style-locked serving path, stream precompute "
+                         "amortized out of the timed loop.")
     args = ap.parse_args()
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -159,7 +163,15 @@ def main():
 
     for point in args.points.split(","):
         point = point.strip()
-        dtype, _, flag = point.partition("+")
+        # "-locked" suffix (r5): measure the style-locked serving path
+        # (encode_style_stream once per style, stylize_with_style_stream per
+        # content batch — models/master.py:143-179) at this operating point.
+        # MAE uses the SAME locked path on the reference pair; the stream
+        # precompute is per-style amortized and excluded from the timed loop
+        # (bench.py bench_locked methodology).
+        locked = point.endswith("-locked")
+        base_point = point[: -len("-locked")] if locked else point
+        dtype, _, flag = base_point.partition("+")
         use_pallas = flag == "pallas"
         if dtype.startswith("mix-"):
             # Per-stage dtype policy (r4): mix-<swin><st><dec>[+pallas],
@@ -205,31 +217,68 @@ def main():
                     decoder=cfg.decoder.replace(use_pallas=True,
                                                 matmul_mode=mmode))
 
-        @jax.jit
-        def stylize(p, c, s, cfg=cfg, precision=precision):
-            if precision is None:
-                return master_apply(p, c, s, cfg, k=args.k,
-                                    deterministic=True)
-            with jax.default_matmul_precision(precision):
+        def _prec(fn, precision=precision):
+            def wrapped(*a, **kw):
+                if precision is None:
+                    return fn(*a, **kw)
+                with jax.default_matmul_precision(precision):
+                    return fn(*a, **kw)
+            return wrapped
+
+        if locked:
+            from mastermetastyletransfer_tpu.models import (
+                encode_style_stream, stylize_with_style_stream,
+            )
+
+            @jax.jit
+            @_prec
+            def encode(p, s, cfg=cfg):
+                return encode_style_stream(p, s, cfg, k=args.k)
+
+            @jax.jit
+            @_prec
+            def stylize_l(p, c, stream, cfg=cfg):
+                return stylize_with_style_stream(p, c, stream, cfg)
+
+            stream1 = encode(params, s1)
+            out1 = np.asarray(stylize_l(params, c1, stream1), np.float32)
+            mae = float(np.mean(np.abs(out1 - out_ref)))
+
+            streamb = encode(params, sb[:1])
+            for _ in range(3):
+                _sync(stylize_l(params, cb, streamb))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(args.iters):
+                    out = stylize_l(params, cb, streamb)
+                _sync(out)
+                best = min(best, time.perf_counter() - t0)
+            ips = args.iters * args.batch / best
+        else:
+            @jax.jit
+            @_prec
+            def stylize(p, c, s, cfg=cfg):
                 return master_apply(p, c, s, cfg, k=args.k,
                                     deterministic=True)
 
-        # MAE on the reference pair
-        out1 = np.asarray(stylize(params, c1, s1), np.float32)
-        mae = float(np.mean(np.abs(out1 - out_ref)))
+            # MAE on the reference pair
+            out1 = np.asarray(stylize(params, c1, s1), np.float32)
+            mae = float(np.mean(np.abs(out1 - out_ref)))
 
-        # throughput at --batch (separate compile; bench.py methodology)
-        for _ in range(3):
-            _sync(stylize(params, cb, sb))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(args.iters):
-                out = stylize(params, cb, sb)
-            _sync(out)
-            best = min(best, time.perf_counter() - t0)
-        ips = args.iters * args.batch / best
+            # throughput at --batch (separate compile; bench.py methodology)
+            for _ in range(3):
+                _sync(stylize(params, cb, sb))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = None
+                for _ in range(args.iters):
+                    out = stylize(params, cb, sb)
+                _sync(out)
+                best = min(best, time.perf_counter() - t0)
+            ips = args.iters * args.batch / best
 
         results["points"][point] = {
             "mae": mae,
