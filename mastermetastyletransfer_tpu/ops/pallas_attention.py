@@ -257,6 +257,36 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
     _unflat(acc_h + bp, mu_ref)
 
 
+def _gelu_lowp(x):
+    """GELU (exact-erf form, Abramowitz-Stegun 7.1.26 like pallas_mlp._erf)
+    evaluated in the input's own (low) precision — except the sign select,
+    which runs on an f32 view: Mosaic's target rejects bf16 COMPARISONS
+    ("Target does not support this comparison"; probed on hardware r5 —
+    sign/where on bf16 fail, abs/exp/reciprocal lower fine)."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    z = x * (0.5 ** 0.5)
+    ax = jnp.abs(z)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    sgn = jnp.sign(z.astype(jnp.float32)).astype(x.dtype)
+    return 0.5 * x * (1.0 + sgn * y)
+
+
+def _hid_lowp(dt) -> bool:
+    """bf16 MLP hidden buffer (r5, PERF.md 'Not taken' -> taken): compute
+    the MLP hidden activations + GELU in bf16 instead of f32. The f32
+    (rows, 4C) hidden buffer is the largest single scratch in the block
+    kernels; halving it is what buys wider image tiles (bsub) / fewer grid
+    steps — the named cure for the stage-1 per-step data-movement floor
+    (probe_blockcost: 42% shared floor). Only ever applies to the bf16
+    path (the f32 compliant point keeps f32 hidden exactly); numeric
+    effect on the bf16 operating point measured in
+    goldens/operating_points.json. MMST_HID_BF16=0 to A/B."""
+    return dt == jnp.bfloat16 and os.environ.get("MMST_HID_BF16", "0") == "1"
+
+
 def _pick_bsub(b: int, c: int, twn: int, budget: int = 131072,
                itemsize: int = 2) -> int:
     """Images per grid step: stack BSUB images' same-tile rows along
@@ -462,9 +492,15 @@ def _block_compute(x_raw, mask_block, pm_block,
         var = jnp.mean(jnp.square(h2 - mean), axis=-1, keepdims=True)
         h2 = (h2 - mean) * jax.lax.rsqrt(var + eps)
         h2 = h2 * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
-    h2 = kdot(h2.astype(dt), f1w_ref[:].astype(dt)) + f1b_ref[0].astype(f32)
-    h2 = 0.5 * h2 * (1.0 + _erf(h2 * (0.5 ** 0.5)))
-    h2 = kdot(h2.astype(dt), f2w_ref[:].astype(dt)) + f2b_ref[0].astype(f32)
+    if _hid_lowp(dt):
+        hb = (kdot(h2.astype(dt), f1w_ref[:].astype(dt))
+              + f1b_ref[0].astype(f32)).astype(dt)
+        hb = _gelu_lowp(hb)
+        h2 = kdot(hb.astype(dt), f2w_ref[:].astype(dt)) + f2b_ref[0].astype(f32)
+    else:
+        h2 = kdot(h2.astype(dt), f1w_ref[:].astype(dt)) + f1b_ref[0].astype(f32)
+        h2 = 0.5 * h2 * (1.0 + _erf(h2 * (0.5 ** 0.5)))
+        h2 = kdot(h2.astype(dt), f2w_ref[:].astype(dt)) + f2b_ref[0].astype(f32)
     return y + h2
 
 
@@ -739,6 +775,11 @@ def _mlp_rows(x, w1_ref, b1_ref, w2_ref, b2_ref):
     from mastermetastyletransfer_tpu.ops.pallas_mlp import _erf
     f32 = jnp.float32
     dt = x.dtype
+    if _hid_lowp(dt):
+        h = (kdot(x, w1_ref[:].astype(dt)) + b1_ref[0].astype(f32)).astype(dt)
+        h = _gelu_lowp(h)
+        h = kdot(h.astype(dt), w2_ref[:].astype(dt)) + b2_ref[0].astype(f32)
+        return x.astype(f32) + h
     h = kdot(x, w1_ref[:].astype(dt)) + b1_ref[0].astype(f32)
     h = 0.5 * h * (1.0 + _erf(h * (0.5 ** 0.5)))
     h = kdot(h.astype(dt), w2_ref[:].astype(dt)) + b2_ref[0].astype(f32)
