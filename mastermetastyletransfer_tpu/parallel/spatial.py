@@ -26,10 +26,14 @@ tests/test_distribution.py): GSPMD distributes this model PARTIALLY.
     8-way row split crosses window boundaries; full model 0.76x). Output
     and input stay properly sharded and the halo collective-permutes for
     the shifted phase ARE emitted, but per-device PEAK MEMORY does not
-    scale ~1/n for these stages yet. A shard_map band-owned window
-    implementation with explicit ppermute halos is the planned fix; the
-    thresholds in tests/test_distribution.py pin today's status and must
-    be tightened when it lands.
+    scale ~1/n for these stages.
+
+r5: the band-owned shard_map implementation with explicit ppermute halos
+LANDED in parallel/spatial_shmap.py (per-device temp 0.17x single-device
+at 512^2 for swin AND the full model, zero all-gathers — the tightened
+audits in tests/test_distribution.py pin it). Prefer
+make_spatial_stylize_shmap for spatial scaling; this GSPMD module remains
+the zero-custom-code fallback and the decoder's sharding provider.
 """
 
 from __future__ import annotations

@@ -16,6 +16,14 @@ Measured status on the 8-device CPU mesh (r4, recorded in PERF.md):
     regression toward full replication fails them, and a future
     shard_map/halo implementation should tighten them.
 
+r5 UPDATE: the band-owned shard_map path (parallel/spatial_shmap.py) now
+provides TRUE spatial distribution for swin + ST (measured temp 0.17x
+single-device at 512^2, zero all-gathers) — audited by the
+test_spatial_shmap_* tests below with the VERDICT-r4-prescribed tightened
+thresholds (<0.3 full model, <=0.25 swin). The original GSPMD tests remain
+as status pins for the pjit-annotation path. Numeric parity for the
+shard_map path: tests/test_spatial_shmap.py.
+
 All tests are AOT compile-only (ShapeDtypeStruct in, no execution).
 """
 
@@ -97,12 +105,71 @@ def test_decoder_plain_path_spatial_memory_scales(setup):
     assert ratio < 0.25, ratio
 
 
+def test_spatial_shmap_full_model_memory_scales(setup):
+    """The band-owned shard_map path (r5, parallel/spatial_shmap.py) must
+    DISTRIBUTE: per-device temp < 0.3x single-device (measured 0.17 =
+    1/8 + halos + decoder), zero all-gathers, halo collective-permutes
+    present, output sharded 8-way. This is the r4-VERDICT-prescribed
+    tightening of the 0.85 GSPMD bound."""
+    cfg, params, mesh = setup
+    from mastermetastyletransfer_tpu.parallel.spatial_shmap import (
+        make_spatial_stylize_shmap,
+    )
+
+    img = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+    fn = make_spatial_stylize_shmap(cfg, mesh, k=1)
+    compiled = fn.lower(params, img, img).compile()
+    c = _counts(compiled.as_text())
+    assert c["collective-permute"] > 0 and c["all-gather"] == 0, c
+    ma = compiled.memory_analysis()
+    assert ma.output_size_in_bytes == 512 * 512 * 3 * 4 // 8
+
+    pcfg = cfg.replace(decoder=cfg.decoder.replace(fuse_upsample=False))
+    single = jax.jit(
+        lambda p, c_, s_: __import__(
+            "mastermetastyletransfer_tpu.models.master",
+            fromlist=["master_apply"]).master_apply(p, c_, s_, pcfg, k=1)
+    ).lower(params, img, img).compile()
+    ratio = ma.temp_size_in_bytes / single.memory_analysis().temp_size_in_bytes
+    assert ratio < 0.3, ratio  # measured 0.173 (r5)
+
+
+def test_spatial_shmap_swin_memory_scales(setup):
+    """Band-owned swin alone: per-device temp <= 0.25x single-device
+    (measured 0.173 at 512^2 — ~1/8 + the one-window-row halos), the
+    r4-VERDICT-prescribed tightening of the 0.6 GSPMD bound."""
+    cfg, params, mesh = setup
+    from jax.sharding import PartitionSpec
+    from mastermetastyletransfer_tpu.models.swin import swin_backbone_apply
+    from mastermetastyletransfer_tpu.parallel import spatial_shmap as ss
+
+    n = 8
+    aux, specs, meta = ss._build_aux(512, 512, cfg, n)
+    spec = PartitionSpec(None, "space", None, None)
+    img = jax.ShapeDtypeStruct((1, 512, 512, 3), jnp.float32)
+
+    def f(p, x, aux):
+        return ss._swin_local(p["swin"], x, cfg.swin, aux, meta, "space", n)
+
+    with mesh:
+        sharded = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(PartitionSpec(), spec, specs),
+            out_specs=spec)).lower(params, img, aux).compile()
+    single = jax.jit(lambda p, x: swin_backbone_apply(
+        p["swin"], x, cfg.swin)).lower(params, img).compile()
+    c = _counts(sharded.as_text())
+    assert c["collective-permute"] > 0 and c["all-gather"] == 0, c
+    ratio = (sharded.memory_analysis().temp_size_in_bytes /
+             single.memory_analysis().temp_size_in_bytes)
+    assert ratio <= 0.25, ratio  # measured 0.173 (r5)
+
+
 def test_swin_aligned_size_distribution_status(setup):
-    """Swin at a window-ALIGNED size (448^2: 14 token rows/device = 2
-    whole windows): no all-gathers and temp <= 0.6x single-device. This
-    pins the measured partial distribution (0.50x, r4) — it fails if a
-    change pushes swin toward full replication, and should be TIGHTENED
-    (toward ~1/8) when a halo/shard_map swin lands."""
+    """GSPMD-status pin (NOT the distributed path — that is the shard_map
+    band path above): swin under plain GSPMD at a window-ALIGNED size
+    (448^2: 14 token rows/device = 2 whole windows): no all-gathers and
+    temp <= 0.6x single-device. Pins the measured partial distribution
+    (0.50x, r4) so a regression toward full replication still fails."""
     cfg, params, mesh = setup
     from mastermetastyletransfer_tpu.models.swin import swin_backbone_apply
 
