@@ -259,19 +259,20 @@ def _kernel_dual(q_ref, k_ref, vs_ref, vh_ref, ws_ref, bs_ref, wsh_ref,
 
 def _gelu_lowp(x):
     """GELU (exact-erf form, Abramowitz-Stegun 7.1.26 like pallas_mlp._erf)
-    evaluated in the input's own (low) precision — except the sign select,
-    which runs on an f32 view: Mosaic's target rejects bf16 COMPARISONS
-    ("Target does not support this comparison"; probed on hardware r5 —
-    sign/where on bf16 fail, abs/exp/reciprocal lower fine)."""
+    evaluated entirely in the input's own (low) precision. The erf sign
+    select is eliminated algebraically — gelu(x) = 0.5*x*(1 + sign(x)*y(|z|))
+    = 0.5*(x + |x|*y(|z|)) since x*sign(x) = |x| — because Mosaic's target
+    rejects bf16 COMPARISONS ("Target does not support this comparison";
+    probed on hardware r5: sign/where on bf16 fail, abs/exp/reciprocal
+    lower fine) and an f32 sign view costs a full-size scoped-VMEM buffer
+    (measured: +0.8M, enough to push the 512^2 rows kernel 16.82M/16M)."""
     a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
     a4, a5, p = -1.453152027, 1.061405429, 0.3275911
-    z = x * (0.5 ** 0.5)
-    ax = jnp.abs(z)
-    t = 1.0 / (1.0 + p * ax)
+    az = jnp.abs(x) * (0.5 ** 0.5)
+    t = 1.0 / (1.0 + p * az)
     poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
-    y = 1.0 - poly * jnp.exp(-ax * ax)
-    sgn = jnp.sign(z.astype(jnp.float32)).astype(x.dtype)
-    return 0.5 * x * (1.0 + sgn * y)
+    y = 1.0 - poly * jnp.exp(-az * az)
+    return 0.5 * (x + jnp.abs(x) * y)
 
 
 def _hid_lowp(dt) -> bool:
@@ -597,16 +598,30 @@ def fused_window_block_rows(params: dict, x: jnp.ndarray,
 
     bsub = _pick_bsub(b, c, twn, budget=262144, itemsize=x.dtype.itemsize)
 
-    mask_r = np.zeros((nwh, nww, n, n), np.float32)
-    if mask is not None:
-        mask_r[:] = np.asarray(mask, np.float32).reshape(nwh, nww, n, n)
-    mask_r = jnp.asarray(mask_r, jnp.bfloat16)
-    use_padmask = padmask is not None and float(np.min(padmask)) < 1.0
-    if use_padmask:
+    # mask / padmask: numpy constants on the single-device path, TRACED
+    # per-device slabs on the band-owned shard_map path (r5) — the latter
+    # cannot be value-inspected, so validity is assumed when traced.
+    if mask is None:
+        mask_r = jnp.zeros((nwh, nww, n, n), jnp.bfloat16)
+    elif isinstance(mask, np.ndarray):
+        mask_r = jnp.asarray(
+            np.asarray(mask, np.float32).reshape(nwh, nww, n, n),
+            jnp.bfloat16)
+    else:
+        mask_r = mask.astype(jnp.bfloat16).reshape(nwh, nww, n, n)
+    if padmask is None:
+        use_padmask = False
+    elif isinstance(padmask, np.ndarray):
+        use_padmask = float(np.min(padmask)) < 1.0
+    else:
+        use_padmask = True
+    if not use_padmask:
+        pm3 = jnp.zeros((nwh, twn, 1), jnp.float32)
+    elif isinstance(padmask, np.ndarray):
         pm3 = jnp.asarray(np.asarray(padmask, np.float32).reshape(
             nwh, nww * n, 1))
     else:
-        pm3 = jnp.zeros((nwh, twn, 1), jnp.float32)
+        pm3 = padmask.astype(jnp.float32).reshape(nwh, nww * n, 1)
 
     w1, b1, w2, b2, hidden = _mlp_weights(mlp_params, c, x.dtype)
     n2s = (norm2["scale"].reshape(1, c) if norm2 is not None
@@ -694,7 +709,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     the same layout."""
     b, nw, n, c = x.shape
     (tw, nw_pad, nt, twn, (x5,), mask_pw, pm4, bsub,
-     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+     win5, wmat, wvec, rbias, mspec, pmspec, use_pm) = _pw_wiring(
         b, nw, n, c, heads, [x], mask, padmask, target_rows, budget=262144)
 
     w1, b1, w2, b2, hidden = _mlp_weights(mlp_params, c, x.dtype)
@@ -729,8 +744,7 @@ def fused_window_block(params: dict, x: jnp.ndarray,
     kern = functools.partial(_kernel_block_pw, heads=heads,
                              scale=(c // heads) ** -0.5,
                              use_norm1=norm1 is not None,
-                             use_padmask=padmask is not None
-                             and padmask.min() < 1.0,
+                             use_padmask=use_pm,
                              use_norm2=norm2 is not None,
                              bsub=bsub)
     out = pl.pallas_call(
@@ -887,18 +901,35 @@ def _pw_wiring(b, nw, n, c, heads, x_list, mask, padmask, target_rows,
     compute/copy overlap that 74 small steps pipeline. Keep tw fixed."""
     tw, nw_pad, nt, twn = _geometry(nw, n, target_rows)
     x5 = [_pad_windows(x, nw_pad).reshape(b, nt, tw, n, c) for x in x_list]
-    mask_pw = np.zeros((nw_pad, n, n), np.float32)
-    if mask is not None:
+    # mask / padmask are numpy constants on the single-device path; the
+    # band-owned shard_map path (parallel/spatial_shmap.py) passes TRACED
+    # per-device slabs instead (r5) — same shapes, no value inspection.
+    if mask is None:
+        mask_pw = jnp.zeros((nt, tw, n, n), jnp.bfloat16)
+    elif isinstance(mask, np.ndarray):
+        mask_pw = np.zeros((nw_pad, n, n), np.float32)
         mask_pw[:nw] = np.asarray(mask, np.float32)
-    mask_pw = jnp.asarray(mask_pw.reshape(nt, tw, n, n), jnp.bfloat16)
-    if padmask is not None and padmask.min() >= 1.0:
+        mask_pw = jnp.asarray(mask_pw.reshape(nt, tw, n, n), jnp.bfloat16)
+    else:
+        m = mask.astype(jnp.bfloat16)
+        if nw_pad > nw:
+            m = jnp.pad(m, ((0, nw_pad - nw), (0, 0), (0, 0)))
+        mask_pw = m.reshape(nt, tw, n, n)
+    if (padmask is not None and isinstance(padmask, np.ndarray)
+            and padmask.min() >= 1.0):
         padmask = None
-    if padmask is not None:
+    use_pm = padmask is not None
+    if padmask is None:
+        pm4 = jnp.zeros((nt, twn, 1), jnp.float32)
+    elif isinstance(padmask, np.ndarray):
         pm = np.zeros((nw_pad, n), np.float32)
         pm[:nw] = np.asarray(padmask, np.float32)
         pm4 = jnp.asarray(pm.reshape(nt, twn, 1))
     else:
-        pm4 = jnp.zeros((nt, twn, 1), jnp.float32)
+        pm = padmask.astype(jnp.float32)
+        if nw_pad > nw:
+            pm = jnp.pad(pm, ((0, nw_pad - nw), (0, 0)))
+        pm4 = pm.reshape(nt, twn, 1)
     bsub = _pick_bsub(b, c, twn, budget=budget,
                       itemsize=x_list[0].dtype.itemsize)
     win5 = pl.BlockSpec((bsub, 1, tw, n, c), lambda j, i: (i, j, 0, 0, 0),
@@ -912,7 +943,7 @@ def _pw_wiring(b, nw, n, c, heads, x_list, mask, padmask, target_rows,
     pmspec = pl.BlockSpec((1, twn, 1), lambda j, i: (j, 0, 0),
                           memory_space=pltpu.VMEM)
     return (tw, nw_pad, nt, twn, x5, mask_pw, pm4, bsub,
-            win5, wmat, wvec, rbias, mspec, pmspec)
+            win5, wmat, wvec, rbias, mspec, pmspec, use_pm)
 
 
 def _mlp_weights(mlp_params, c, dtype):
@@ -938,7 +969,7 @@ def fused_encoder_scale_shift(params: dict, Key: jnp.ndarray,
     window tensors; returns (Scale', Shift') in the same layout."""
     b, nw, n, c = Key.shape
     (tw, nw_pad, nt, twn, (k5, s5, h5), mask_pw, pm4, bsub,
-     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+     win5, wmat, wvec, rbias, mspec, pmspec, use_pm) = _pw_wiring(
         b, nw, n, c, heads, [Key, Scale, Shift], mask, padmask,
         target_rows, budget=131072)
 
@@ -961,8 +992,7 @@ def fused_encoder_scale_shift(params: dict, Key: jnp.ndarray,
     kern = functools.partial(_kernel_enc_ss, heads=heads,
                              scale=(c // heads) ** -0.5,
                              use_norm=norm1 is not None,
-                             use_padmask=padmask is not None
-                             and padmask.min() < 1.0,
+                             use_padmask=use_pm,
                              bsub=bsub)
     out_shape = jax.ShapeDtypeStruct((b, nt, tw, n, c), Key.dtype)
     out_s, out_h = pl.pallas_call(
@@ -1051,7 +1081,7 @@ def fused_decoder_tail(params: dict, q: jnp.ndarray, k: jnp.ndarray,
     (zero-padded + projected in-kernel via wv_scale/wv_shift)."""
     b, nw, n, c = q.shape
     (tw, nw_pad, nt, twn, (q5, k5, vs5, vh5, qr5), mask_pw, pm4, bsub,
-     win5, wmat, wvec, rbias, mspec, pmspec) = _pw_wiring(
+     win5, wmat, wvec, rbias, mspec, pmspec, use_pm) = _pw_wiring(
         b, nw, n, c, heads, [q, k, v_scale, v_shift, query], mask, padmask,
         target_rows, budget=98304)
 
@@ -1065,8 +1095,7 @@ def fused_decoder_tail(params: dict, q: jnp.ndarray, k: jnp.ndarray,
 
     kern = functools.partial(_kernel_dec_tail, heads=heads,
                              scale=(c // heads) ** -0.5,
-                             use_padmask=padmask is not None
-                             and padmask.min() < 1.0,
+                             use_padmask=use_pm,
                              bsub=bsub)
     out = pl.pallas_call(
         kern,

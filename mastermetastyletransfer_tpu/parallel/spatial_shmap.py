@@ -54,6 +54,7 @@ from mastermetastyletransfer_tpu.config import ModelConfig
 from mastermetastyletransfer_tpu.models.decoder import cnn_decoder_apply
 from mastermetastyletransfer_tpu.models.master import _stage_ctx
 from mastermetastyletransfer_tpu.models.swin import _block_cfg, patch_merging
+from mastermetastyletransfer_tpu.ops.attention import _pallas_dim_ok
 from mastermetastyletransfer_tpu.ops.mlp import linear, mlp_apply
 from mastermetastyletransfer_tpu.ops.norm import layer_norm
 from mastermetastyletransfer_tpu.ops.windows import (
@@ -181,6 +182,45 @@ def _band_attention(q4, k4, v4s, bias, mask3, heads: int, proj):
     return outs
 
 
+def _rows_kernel_ok(x, c: int, ww: int) -> bool:
+    """Hardware envelope of the row-resident kernel inside a band (same
+    gates as ops/attention.fused_self_attention_block): bf16 + row width
+    twn*C <= 256k elements; interpret mode (CPU tests) has no VMEM limit."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        _pallas_interpret,
+    )
+    twn_c = (x.shape[2] // ww) * ww * 7 * c  # nww * N * C with wh = 7
+    return _pallas_interpret() or (x.dtype == jnp.bfloat16
+                                   and twn_c <= 262144)
+
+
+def _band_swin_block_pallas(bp, x, acfg, bias, mask_slab, pm2,
+                            sh: int, sw: int, axis: str, n: int):
+    """Row-resident fused whole-block kernel on a band: the H-roll becomes
+    the ppermute halo (the kernel's in-index-map roll is cyclic over ITS
+    array, which would wrap within the band), the W-roll stays in-kernel,
+    and the mask/padmask slabs are TRACED per-device operands (r5 support
+    in ops/pallas_attention)."""
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        _pallas_interpret,
+    )
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_window_block_rows,
+    )
+    if sh:
+        x = _band_roll_h(x, sh, axis, n)
+    out = fused_window_block_rows(
+        bp["attn"], x, bias, mask_slab if (sh or sw) else None,
+        acfg.num_heads, bp["mlp"], bp.get("norm2"), bp.get("norm1"),
+        pm2, window=acfg.window_size, shift=(0, sw),
+        interpret=_pallas_interpret())
+    if sw:
+        out = jnp.roll(out, sw, axis=2)
+    if sh:
+        out = _band_unroll_h(out, sh, axis, n)
+    return out
+
+
 def _band_swin_block(bp, x, acfg, bias, mask3, pm2, sh: int, sw: int,
                      axis: str, n: int):
     """One full swin self-attention block on a padded-resident band
@@ -247,17 +287,24 @@ def _swin_local(sp, images, scfg, aux, meta, axis: str, n: int):
             acfg = _block_cfg(scfg, stage, blk)
             shifted = blk % 2 == 1
             sh, sw = (g["sh"], g["sw"]) if shifted else (0, 0)
-            bias = relative_position_bias(
-                sp[f"stage{stage}_block{blk}"]["attn"]["rel_bias_table"],
-                wh, ww)
+            bp = sp[f"stage{stage}_block{blk}"]
+            bias = relative_position_bias(bp["attn"]["rel_bias_table"],
+                                          wh, ww)
             nwl = (g["rows_loc"] // wh) * (g["Wp"] // ww)
             nn = wh * ww
             pm2 = aux[f"s{stage}_pm1" if shifted else f"s{stage}_pm0"]
-            mask3 = (aux[f"s{stage}_mask"].reshape(nwl, nn, nn)
-                     if (shifted and (sh or sw)) else None)
-            x = _band_swin_block(
-                sp[f"stage{stage}_block{blk}"], x, acfg, bias, mask3,
-                pm2.reshape(nwl, nn), sh, sw, axis, n)
+            mask_slab = (aux[f"s{stage}_mask"] if (shifted and (sh or sw))
+                         else None)
+            if scfg.use_pallas and _pallas_dim_ok(acfg.dim) and \
+                    _rows_kernel_ok(x, acfg.dim, ww):
+                x = _band_swin_block_pallas(
+                    bp, x, acfg, bias, mask_slab, pm2.reshape(nwl, nn),
+                    sh, sw, axis, n)
+            else:
+                mask3 = (mask_slab.reshape(nwl, nn, nn)
+                         if mask_slab is not None else None)
+                x = _band_swin_block(bp, x, acfg, bias, mask3,
+                                     pm2.reshape(nwl, nn), sh, sw, axis, n)
         x = _band_repartition(x, g["hs"] // n, axis, n, h_valid=g["hs"])
         x = x[:, :, :g["ws"]]
     return x
@@ -282,10 +329,26 @@ def _band_st_machinery(params, cfg, aux, meta, axis: str, n: int):
 
     mask3 = (aux["st_mask"].reshape(nwl, nn, nn)
              if (g["sh"] or g["sw"]) else None)
-    vm = aux["st_pm"].reshape(nwl, nn)[None, :, :, None]
+    pm2 = aux["st_pm"].reshape(nwl, nn)
+    vm = pm2[None, :, :, None]
     refpad = aux["st_refpad"].reshape(nwl, nn)[None, :, :, None]
     count = g["count"]
     count_ref = g["count_ref"]
+
+    # Fused-kernel closures (traced mask/padmask slabs — r5 support in
+    # ops/pallas_attention): same kernels as the single-device windowed
+    # machinery, per-device. The image-global INs stay outside (psum'd).
+    from mastermetastyletransfer_tpu.models.style_transformer import (
+        _pallas_interpret,
+    )
+    use_pallas = cfg.use_pallas and _pallas_dim_ok(cfg.encoder_dim)
+    interp = _pallas_interpret()
+
+    def _fused_ok(x4):
+        # f32 iteration-fusion kernels exceed the 16 MB scoped VMEM on
+        # hardware (PERF.md fuse_iteration gate); interpret mode has no
+        # limit and keeps CPU tests exercising the fused path.
+        return use_pallas and (interp or x4.dtype == jnp.bfloat16)
 
     def zp(x4):
         return x4 * vm.astype(x4.dtype)
@@ -316,6 +379,13 @@ def _band_st_machinery(params, cfg, aux, meta, axis: str, n: int):
         ln_e = lambda t: t  # noqa: E731
 
     def enc_key_block(Key):
+        if _fused_ok(Key):
+            from mastermetastyletransfer_tpu.ops.pallas_attention import (
+                fused_window_block,
+            )
+            return fused_window_block(e_attn, Key, bias_e, mask3, heads_e,
+                                      enc["mlp_key"], None, n1p, pm2,
+                                      interpret=interp)
         x = zp(ln_e(Key))
         q = linear(e_attn["wq"], x)
         kk = linear(e_attn["wk"], x)
@@ -326,6 +396,14 @@ def _band_st_machinery(params, cfg, aux, meta, axis: str, n: int):
         return Key + mlp_apply(enc["mlp_key"], Key)
 
     def enc_scale_shift(Key, Scale, Shift):
+        if _fused_ok(Key):
+            from mastermetastyletransfer_tpu.ops.pallas_attention import (
+                fused_encoder_scale_shift,
+            )
+            return fused_encoder_scale_shift(
+                e_attn, Key, Scale, Shift, bias_e, mask3, heads_e,
+                enc["mlp_scale"], enc["mlp_shift"], n1p, pm2,
+                interpret=interp)
         qk = zp(ln_e(Key))
         q = linear(e_attn["wq"], qk)
         kk = linear(e_attn["wk"], qk)
@@ -360,6 +438,17 @@ def _band_st_machinery(params, cfg, aux, meta, axis: str, n: int):
                         bias=None if aff is None else aff["bias"])
 
     def dec_self_block(Fcs):
+        if (_fused_ok(Fcs)
+                and not cfg.decoder_exclude_MLP_after_Fcs_self_MHA):
+            from mastermetastyletransfer_tpu.ops.pallas_attention import (
+                fused_window_block,
+            )
+            return fused_window_block(
+                d_self["attn"], Fcs, bias_self, mask3, heads_d,
+                d_self["mlp"],
+                d_self.get("norm2") if cfg.decoder_use_norm else None,
+                d_self.get("norm1") if cfg.decoder_use_norm else None,
+                pm2, interpret=interp)
         sa = d_self["attn"]
         if cfg.decoder_use_norm:
             x = layer_norm(Fcs, d_self["norm1"]["scale"],
@@ -404,6 +493,13 @@ def _band_st_machinery(params, cfg, aux, meta, axis: str, n: int):
                           bias=None if aff_k is None else aff_k["bias"])
         else:
             kk = linear(d_dual["wk"], zp(_in_masked(Key_IN, "in_k")))
+        if _fused_ok(Query):
+            from mastermetastyletransfer_tpu.ops.pallas_attention import (
+                fused_decoder_tail,
+            )
+            return fused_decoder_tail(
+                d_dual, q, kk, Scale, Shift, Query, bias_dual, mask3,
+                heads_d, dec["last_mlp"], pm2, interpret=interp)
         v1 = linear(d_dual["wv_scale"], zp(Scale))
         v2 = linear(d_dual["wv_shift"], zp(Shift))
         sigma, mu = _band_attention(q, kk, [v1, v2], bias_dual, mask3,
@@ -597,10 +693,13 @@ def make_spatial_stylize_shmap(cfg: ModelConfig, mesh: Mesh, *, k: int = 1,
         aux, specs, meta = _build_aux(H, W, ccfg, n)
         local = functools.partial(_stylize_features_local, cfg=ccfg, k=k,
                                   n=n, axis=space_axis, meta=meta)
+        # check_vma=False: pallas_call inside shard_map has no way to
+        # declare its outputs' varying-mesh-axes (jax 0.9 requires a `vma`
+        # on out_shape otherwise); the specs above pin the data movement.
         fcs = jax.shard_map(
             local, mesh=mesh,
             in_specs=(P(), img_spec, img_spec, specs),
-            out_specs=img_spec)(params, content, style, aux)
+            out_specs=img_spec, check_vma=False)(params, content, style, aux)
         dd = jnp.dtype(ccfg.stage_dtype("decoder"))
         with _stage_ctx(ccfg, "decoder"):
             out = cnn_decoder_apply(params["decoder"], fcs.astype(dd),

@@ -112,6 +112,23 @@ def test_full_spatial_shmap_parity(setup, k):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_full_spatial_shmap_parity_pallas(setup):
+    """Same parity with the FUSED Pallas kernels per device (interpret on
+    CPU): the band path feeds them TRACED mask/padmask slabs (r5 support
+    in ops/pallas_attention) — swin via the row-resident kernel with the
+    H-roll as the ppermute halo, ST via the iteration-fusion kernels."""
+    cfg, params, c, s = setup
+    cfg = cfg.replace(swin=cfg.swin.replace(use_pallas=True),
+                      transformer=cfg.transformer.replace(use_pallas=True))
+    mesh = make_mesh(8, axis_names=("space",))
+    pcfg = cfg.replace(decoder=cfg.decoder.replace(fuse_upsample=False))
+    ref = np.asarray(jax.jit(
+        lambda p, a, b: master_apply(p, a, b, pcfg, k=1))(params, c, s))
+    out = np.asarray(ss.make_spatial_stylize_shmap(cfg, mesh, k=1)(
+        params, c, s))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_spatial_shmap_unsupported_reasons():
     cfg = ModelConfig()
     assert ss.spatial_shmap_unsupported(cfg, 256, 256, 8) is None
