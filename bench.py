@@ -131,6 +131,58 @@ def bench_infer(args):
     }))
 
 
+def bench_spatial(args):
+    """Band-owned shard_map spatial path (parallel/spatial_shmap.py) on a
+    mesh of ALL available devices (ONE real chip here — a 1-device mesh:
+    every ppermute is a self-send, so this measures what the spatial
+    plumbing costs relative to the plain path; on a real multi-chip slice
+    the same code scales the resolution instead). Default shape 1024^2
+    (BASELINE config #5, the config spatial parallelism exists for)."""
+    import numpy as np
+
+    from mastermetastyletransfer_tpu.models import init_master_model
+    from mastermetastyletransfer_tpu.parallel import (
+        make_mesh, make_spatial_stylize_shmap, spatial_shmap_unsupported,
+    )
+
+    cfg = _build_cfg(args)
+    n = len(jax.devices())
+    bad = spatial_shmap_unsupported(cfg, args.size, args.size, n)
+    if bad:
+        raise SystemExit(f"spatial path unsupported here: {bad}")
+    mesh = make_mesh(n, axis_names=("space",))
+    params = init_master_model(jax.random.PRNGKey(0), cfg)
+    if args.params_dtype:
+        from mastermetastyletransfer_tpu.models import cast_params
+        params = cast_params(params, args.params_dtype)
+    fn = make_spatial_stylize_shmap(cfg, mesh, k=args.k)
+
+    b, s = args.batch, args.size
+    content = jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 3),
+                                 jnp.float32)
+    style = jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 3),
+                               jnp.float32)
+    for _ in range(args.warmup):
+        _sync(fn(params, content, style))
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(args.iters):
+            out = fn(params, content, style)
+        _sync(out)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    imgs_per_sec = args.iters * b / best_dt
+    baseline = 500.0
+    print(json.dumps({
+        "metric": (f"{s}x{s} spatial-shmap stylized imgs/sec "
+                   f"({n}-device mesh, k={args.k}, {args.dtype})"),
+        "value": round(imgs_per_sec, 2),
+        "unit": "imgs/sec",
+        "vs_baseline": round(imgs_per_sec / baseline, 4),
+    }))
+
+
 def bench_locked(args):
     """Style-locked serving throughput: one style's swin pass + k encoder
     triples precomputed once (models.encode_style_stream), every batch pays
@@ -389,7 +441,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode",
                     choices=["infer", "latency", "train", "meta", "locked",
-                             "sweep"],
+                             "sweep", "spatial"],
                     default="infer")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
@@ -459,7 +511,8 @@ def main():
 
     {"infer": bench_infer, "latency": bench_latency,
      "train": bench_train, "meta": bench_meta,
-     "locked": bench_locked, "sweep": bench_sweep}[args.mode](args)
+     "locked": bench_locked, "sweep": bench_sweep,
+     "spatial": bench_spatial}[args.mode](args)
 
 
 if __name__ == "__main__":

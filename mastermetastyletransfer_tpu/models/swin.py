@@ -137,6 +137,12 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
     from mastermetastyletransfer_tpu.ops.windows import pad_to_windows
     wh, ww = cfg.window_size
 
+    import os
+    from mastermetastyletransfer_tpu.ops.attention import (
+        _pallas_interpret, fused_self_attention_block_pair,
+    )
+    pair_on = os.environ.get("MMST_BLOCK_PAIR", "0") == "1"
+
     sd_idx = 0
     for stage in range(2):
         if stage == 1:
@@ -144,6 +150,25 @@ def swin_backbone_apply(params: dict, images: jnp.ndarray, cfg: SwinConfig, *,
         vh, vw = x.shape[1], x.shape[2]
         if fast:
             x, _, _ = pad_to_windows(x, wh, ww)
+        # r5 two-blocks-one-program path (MMST_BLOCK_PAIR=1): the stage's
+        # (W-MSA, SW-MSA) pair runs as ONE kernel with a one-window-row
+        # pipeline — block0's output never touches HBM. Same hardware
+        # envelope as the row-resident kernel (bf16, row width).
+        _twn_c = (-(-x.shape[2] // ww) * ww // ww) * wh * ww * \
+            cfg.embed_dim * (2 ** stage)
+        if (fast and pair_on and cfg.depths[stage] == 2
+                and deterministic
+                and (_pallas_interpret()
+                     or (x.dtype == jnp.bfloat16 and _twn_c <= 262144))):
+            x = fused_self_attention_block_pair(
+                params[f"stage{stage}_block0"],
+                params[f"stage{stage}_block1"],
+                x, _block_cfg(cfg, stage, 0), _block_cfg(cfg, stage, 1),
+                use_norm=True, valid_hw=(vh, vw))
+            sd_idx += 2
+            if fast:
+                x = x[:, :vh, :vw]
+            continue
         for blk in range(cfg.depths[stage]):
             acfg = _block_cfg(cfg, stage, blk)
             sub = None

@@ -322,6 +322,52 @@ def fused_self_attention_block(block_params: dict, x_in: jnp.ndarray,
                      geom, cfg.window_size)
 
 
+def fused_self_attention_block_pair(bp0: dict, bp1: dict, x_in: jnp.ndarray,
+                                    cfg0: AttentionConfig,
+                                    cfg1: AttentionConfig, *,
+                                    use_norm: bool,
+                                    valid_hw: Optional[Tuple[int, int]] = None
+                                    ) -> jnp.ndarray:
+    """A swin stage's (W-MSA, SW-MSA) block pair in ONE Pallas program with
+    a one-window-row software pipeline (r5 — block0's output never touches
+    HBM; see ops/pallas_attention.fused_window_block_pair_rows). Same
+    contract as two fused_self_attention_block calls: x_in may arrive
+    pre-padded (padded-resident stage) with valid_hw marking true content.
+    Caller gates on the row-resident hardware envelope (bf16, row width)
+    exactly like the single-block rows path."""
+    from mastermetastyletransfer_tpu.ops.pallas_attention import (
+        fused_window_block_pair_rows,
+    )
+    from mastermetastyletransfer_tpu.ops.windows import (
+        effective_shift, pad_to_windows, valid_token_mask,
+    )
+
+    wh, ww = cfg1.window_size
+    b, h, w, _ = x_in.shape
+    xp, pad_h, pad_w = pad_to_windows(x_in, wh, ww)
+    sh, sw = effective_shift(pad_h, pad_w, cfg1.window_size, cfg1.shift_size)
+    mask1 = None
+    if sh or sw:
+        mask1 = shift_attention_mask(pad_h, pad_w, wh, ww, sh, sw)
+    vh, vw = valid_hw if valid_hw is not None else (h, w)
+    pm0 = valid_token_mask(vh, vw, pad_h, pad_w, wh, ww, 0, 0)
+    pm1 = valid_token_mask(vh, vw, pad_h, pad_w, wh, ww, sh, sw)
+    bias0 = relative_position_bias(bp0["attn"]["rel_bias_table"], wh, ww)
+    bias1 = relative_position_bias(bp1["attn"]["rel_bias_table"], wh, ww)
+    out = fused_window_block_pair_rows(
+        bp0["attn"], bp1["attn"], xp, bias0, bias1, mask1, cfg1.num_heads,
+        bp0["mlp"], bp1["mlp"],
+        (bp0.get("norm1") if use_norm else None,
+         bp0.get("norm2") if use_norm else None),
+        (bp1.get("norm1") if use_norm else None,
+         bp1.get("norm2") if use_norm else None),
+        pm0, pm1, window=cfg1.window_size, shift=(sh, sw),
+        interpret=_pallas_interpret())
+    if sh or sw:
+        out = jnp.roll(out, shift=(sh, sw), axis=(1, 2))
+    return out[:, :h, :w, :]
+
+
 def shifted_window_attention_two_v(params: dict, q_in: jnp.ndarray,
                                    k_in: jnp.ndarray, v1_in: jnp.ndarray,
                                    v2_in: jnp.ndarray, cfg: AttentionConfig

@@ -570,6 +570,238 @@ def _kernel_block_rows(*refs, heads: int, scale: float, use_norm1: bool,
     out_ref[:] = y4.reshape(bsub, wh, wp, c).astype(out_ref.dtype)
 
 
+def _rows_block_step(rows, sw, bsub, wh, ww, mask_block, pm, w_refs, *,
+                     heads, scale, use_norm1, use_padmask, use_norm2):
+    """One whole transformer block on a (bsub, wh, Wp, C) row band: W-roll
+    (in-VMEM) -> row-major->window-major relayout -> _block_compute ->
+    inverse relayout. Shared by the single-block rows kernel and the r5
+    two-blocks-one-program kernel."""
+    (wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+     n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+     f1w_ref, f1b_ref, f2w_ref, f2b_ref) = w_refs
+    c = rows.shape[-1]
+    wp = rows.shape[2]
+    nww = wp // ww
+    n = wh * ww
+    if sw:
+        rows = jnp.concatenate([rows[:, :, sw:], rows[:, :, :sw]], axis=2)
+    x4 = rows.reshape(bsub, wh, nww, ww, c).transpose(0, 2, 1, 3, 4)
+    x_raw = x4.reshape(bsub * nww * n, c)
+    y = _block_compute(x_raw, mask_block, pm,
+                       wqkv_ref, bqkv_ref, wp_ref, bp_ref, bias_ref,
+                       n1s_ref, n1b_ref, n2s_ref, n2b_ref,
+                       f1w_ref, f1b_ref, f2w_ref, f2b_ref,
+                       heads=heads, scale=scale, use_norm1=use_norm1,
+                       use_padmask=use_padmask, use_norm2=use_norm2,
+                       bsub=bsub, tw=nww, n=n)
+    y4 = y.reshape(bsub, nww, wh, ww, c).transpose(0, 2, 1, 3, 4)
+    return y4.reshape(bsub, wh, wp, c)
+
+
+def _kernel_block_pair_rows(*refs, heads: int, scale: float, use_norm: bool,
+                            use_padmask: bool, bsub: int, wh: int, ww: int,
+                            sh: int, sw: int, nwh: int):
+    """Two consecutive swin blocks (unshifted block0 -> shifted block1) in
+    ONE program with a one-window-row software pipeline (r5, VERDICT r4
+    task 1c): the grid's fast axis walks r = 0..nwh; step r computes
+    block0's window-row r and block1's window-row r-1 — block1(r-1) needs
+    block0 rows [(r-1)*wh+sh, r*wh+sh), i.e. the tail of the previous
+    step's block0 row (prev_ref scratch) plus the first sh rows of this
+    step's (y0_ref). block0's output NEVER touches HBM, and the cyclic
+    wrap (block1's last row needs block0 row 0's first sh rows —
+    reference roll semantics codes/style_transformer.py:98-100) is served
+    from the first_ref scratch captured at r=0. Scratch persists across
+    the sequential grid; the batch axis is the SLOW grid dim so each
+    image-group's pipeline runs to completion before the next."""
+    row_refs = refs[:wh]
+    (wqkv0, bqkv0, wp0, bp0, bias0, n10s, n10b, pm0_ref, n20s, n20b,
+     f10w, f10b, f20w, f20b,
+     wqkv1, bqkv1, wp1, bp1, bias1, mask1_ref, n11s, n11b, pm1_ref,
+     n21s, n21b, f11w, f11b, f21w, f21b,
+     out_ref, y0_ref, prev_ref, first_ref) = refs[wh:]
+    r = pl.program_id(1)
+    c = row_refs[0].shape[-1]
+    wp = row_refs[0].shape[2]
+    nww = wp // ww
+    n = wh * ww
+    zero_mask = jnp.zeros((nww, n, n), jnp.float32)
+    w0 = (wqkv0, bqkv0, wp0, bp0, bias0, n10s, n10b, n20s, n20b,
+          f10w, f10b, f20w, f20b)
+    w1 = (wqkv1, bqkv1, wp1, bp1, bias1, n11s, n11b, n21s, n21b,
+          f11w, f11b, f21w, f21b)
+
+    @pl.when(r < nwh)
+    def _():
+        rows = jnp.concatenate([rr[:, 0:1] for rr in row_refs], axis=1)
+        pm0 = pm0_ref[0].reshape(nww * n, 1) if use_padmask else None
+        y0 = _rows_block_step(rows, 0, bsub, wh, ww, zero_mask, pm0, w0,
+                              heads=heads, scale=scale, use_norm1=use_norm,
+                              use_padmask=use_padmask, use_norm2=use_norm)
+        y0_ref[:] = y0.astype(y0_ref.dtype)
+
+        @pl.when(r == 0)
+        def _():
+            first_ref[:] = y0[:, :sh].astype(first_ref.dtype)
+
+    @pl.when(r >= 1)
+    def _():
+        head = jnp.where(r >= nwh, first_ref[:], y0_ref[:, :sh])
+        rows1 = jnp.concatenate([prev_ref[:, sh:], head], axis=1)
+        pm1 = pm1_ref[0].reshape(nww * n, 1) if use_padmask else None
+        y1 = _rows_block_step(rows1, sw, bsub, wh, ww, mask1_ref[0], pm1,
+                              w1, heads=heads, scale=scale,
+                              use_norm1=use_norm, use_padmask=use_padmask,
+                              use_norm2=use_norm)
+        out_ref[:] = y1.astype(out_ref.dtype)
+
+    @pl.when(r < nwh)
+    def _():
+        prev_ref[:] = y0_ref[:]
+
+
+def fused_window_block_pair_rows(params0: dict, params1: dict,
+                                 x: jnp.ndarray,
+                                 bias0: jnp.ndarray, bias1: jnp.ndarray,
+                                 mask1: Optional[np.ndarray], heads: int,
+                                 mlp0: dict, mlp1: dict,
+                                 norms0: Tuple[Optional[dict], Optional[dict]],
+                                 norms1: Tuple[Optional[dict], Optional[dict]],
+                                 padmask0: Optional[np.ndarray],
+                                 padmask1: Optional[np.ndarray], *,
+                                 window: Tuple[int, int] = (7, 7),
+                                 shift: Tuple[int, int] = (0, 0),
+                                 interpret: bool = False) -> jnp.ndarray:
+    """block1(block0(x)) for a swin stage's (W-MSA, SW-MSA) pair in one
+    Pallas program — block0's output stays in VMEM scratch (one window-row
+    pipeline lag), eliminating its HBM write + re-read AND halving the
+    per-step shared data-movement floor the r4 probes pinned at 42% of the
+    block cost (PERF.md probe_blockcost). x: (B, Hp, Wp, C) padded;
+    returns block1's output in the ROLLED frame (callers un-roll by
+    +shift, exactly like fused_window_block_rows for the shifted block).
+    norms{0,1} = (norm1, norm2) per block; use_norm is all-or-nothing
+    (the swin backbone always has both)."""
+    b, hp, wp, c = x.shape
+    wh, ww = window
+    sh, sw = shift
+    assert hp % wh == 0 and wp % ww == 0, (hp, wp, window)
+    assert 0 < sh < wh and 0 < sw < ww, (shift, window)
+    nwh, nww = hp // wh, wp // ww
+    n = wh * ww
+    twn = nww * n
+
+    # the step holds TWO blocks' live compute buffers + the pipeline
+    # scratch; budget at half the single-block kernel's
+    bsub = _pick_bsub(b, c, twn, budget=131072, itemsize=x.dtype.itemsize)
+
+    if mask1 is None:
+        mask_r = jnp.zeros((nwh, nww, n, n), jnp.bfloat16)
+    elif isinstance(mask1, np.ndarray):
+        mask_r = jnp.asarray(
+            np.asarray(mask1, np.float32).reshape(nwh, nww, n, n),
+            jnp.bfloat16)
+    else:
+        mask_r = mask1.astype(jnp.bfloat16).reshape(nwh, nww, n, n)
+
+    def pm3_of(padmask):
+        if padmask is None:
+            return None
+        if isinstance(padmask, np.ndarray):
+            if float(np.min(padmask)) >= 1.0:
+                return None
+            return jnp.asarray(
+                np.asarray(padmask, np.float32).reshape(nwh, nww * n, 1))
+        return padmask.astype(jnp.float32).reshape(nwh, nww * n, 1)
+
+    pm0 = pm3_of(padmask0)
+    pm1 = pm3_of(padmask1)
+    use_padmask = pm0 is not None or pm1 is not None
+    if use_padmask:
+        if pm0 is None:
+            pm0 = jnp.ones((nwh, twn, 1), jnp.float32)
+        if pm1 is None:
+            pm1 = jnp.ones((nwh, twn, 1), jnp.float32)
+    else:
+        pm0 = pm1 = jnp.zeros((nwh, twn, 1), jnp.float32)
+
+    def block_weights(params, mlp_params, norms):
+        norm1, norm2 = norms
+        w1, b1, w2, b2, hidden = _mlp_weights(mlp_params, c, x.dtype)
+        ones = jnp.ones((1, c), x.dtype)
+        zeros = jnp.zeros((1, c), x.dtype)
+        n1s = norm1["scale"].reshape(1, c) if norm1 else ones
+        n1b = norm1["bias"].reshape(1, c) if norm1 else zeros
+        n2s = norm2["scale"].reshape(1, c) if norm2 else ones
+        n2b = norm2["bias"].reshape(1, c) if norm2 else zeros
+        wqkv = jnp.concatenate([_linw(params, "wq"), _linw(params, "wk"),
+                                _linw(params, "wv")], axis=1)
+        bqkv = jnp.concatenate([_linb(params, "wq", c, x.dtype),
+                                _linb(params, "wk", c, x.dtype),
+                                _linb(params, "wv", c, x.dtype)], axis=1)
+        return (wqkv, bqkv, _linw(params, "proj"),
+                _linb(params, "proj", c, x.dtype),
+                n1s, n1b, n2s, n2b, w1, b1, w2, b2, hidden)
+
+    (wqkv0, bqkv0, wpj0, bpj0, n10s, n10b, n20s, n20b,
+     f10w, f10b, f20w, f20b, hidden) = block_weights(params0, mlp0, norms0)
+    (wqkv1, bqkv1, wpj1, bpj1, n11s, n11b, n21s, n21b,
+     f11w, f11b, f21w, f21b, _) = block_weights(params1, mlp1, norms1)
+
+    def row_spec(j):
+        def imap(i, r, j=j):
+            return (i, (r % nwh) * wh + j, 0, 0)
+        return pl.BlockSpec((bsub, 1, wp, c), imap,
+                            memory_space=pltpu.VMEM)
+
+    def cmap(*shape_dims):
+        return lambda i, r: (0,) * shape_dims[0]
+
+    wmat = pl.BlockSpec((c, c), cmap(2), memory_space=pltpu.VMEM)
+    wvec = pl.BlockSpec((1, c), cmap(2), memory_space=pltpu.VMEM)
+    w3mat = pl.BlockSpec((c, 3 * c), cmap(2), memory_space=pltpu.VMEM)
+    w3vec = pl.BlockSpec((1, 3 * c), cmap(2), memory_space=pltpu.VMEM)
+    hmat = pl.BlockSpec((c, hidden), cmap(2), memory_space=pltpu.VMEM)
+    hmat_t = pl.BlockSpec((hidden, c), cmap(2), memory_space=pltpu.VMEM)
+    hvec = pl.BlockSpec((1, hidden), cmap(2), memory_space=pltpu.VMEM)
+    rbias = pl.BlockSpec((heads, n, n), cmap(3), memory_space=pltpu.VMEM)
+    mspec = pl.BlockSpec((1, nww, n, n),
+                         lambda i, r: ((r - 1) % nwh, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    pm0spec = pl.BlockSpec((1, twn, 1), lambda i, r: (r % nwh, 0, 0),
+                           memory_space=pltpu.VMEM)
+    pm1spec = pl.BlockSpec((1, twn, 1), lambda i, r: ((r - 1) % nwh, 0, 0),
+                           memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((bsub, wh, wp, c),
+                         lambda i, r: (i, (r - 1) % nwh, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    kern = functools.partial(_kernel_block_pair_rows, heads=heads,
+                             scale=(c // heads) ** -0.5,
+                             use_norm=norms0[0] is not None,
+                             use_padmask=use_padmask,
+                             bsub=bsub, wh=wh, ww=ww, sh=sh, sw=sw, nwh=nwh)
+    return pl.pallas_call(
+        kern,
+        grid=(b // bsub, nwh + 1),
+        in_specs=[row_spec(j) for j in range(wh)] + [
+            w3mat, w3vec, wmat, wvec, rbias,
+            wvec, wvec, pm0spec, wvec, wvec, hmat, hvec, hmat_t, wvec,
+            w3mat, w3vec, wmat, wvec, rbias, mspec,
+            wvec, wvec, pm1spec, wvec, wvec, hmat, hvec, hmat_t, wvec],
+        out_specs=ospec,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, c), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bsub, wh, wp, c), x.dtype),
+            pltpu.VMEM((bsub, wh, wp, c), x.dtype),
+            pltpu.VMEM((bsub, sh, wp, c), x.dtype),
+        ],
+        interpret=interpret,
+    )(*([x] * wh),
+      wqkv0, bqkv0, wpj0, bpj0, bias0,
+      n10s, n10b, pm0, n20s, n20b, f10w, f10b, f20w, f20b,
+      wqkv1, bqkv1, wpj1, bpj1, bias1, mask_r,
+      n11s, n11b, pm1, n21s, n21b, f11w, f11b, f21w, f21b)
+
+
 def fused_window_block_rows(params: dict, x: jnp.ndarray,
                             bias: jnp.ndarray, mask: Optional[jnp.ndarray],
                             heads: int, mlp_params: dict,

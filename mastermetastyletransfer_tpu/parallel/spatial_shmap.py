@@ -679,8 +679,15 @@ def make_spatial_stylize_shmap(cfg: ModelConfig, mesh: Mesh, *, k: int = 1,
     runs its plain GSPMD-shardable formulation (the measured-0.19x path,
     parallel/spatial.py docstring) under the same sharding."""
     n = mesh.shape[space_axis]
-    ccfg = cfg.replace(decoder=cfg.decoder.replace(
-        fuse_upsample=False, use_stencil_conv=False, use_pallas=False))
+    # The decoder swaps to its plain resize+conv formulation ONLY when the
+    # mesh actually splits space: the phase-space interleave reshapes defeat
+    # GSPMD sharding (parallel/spatial.py), but on a 1-device mesh there is
+    # nothing to shard and the phase+Pallas decoder is strictly faster
+    # (measured r5: 41.4 vs 60.5 imgs/s at 1024^2 with the plain decoder).
+    ccfg = cfg
+    if n > 1:
+        ccfg = cfg.replace(decoder=cfg.decoder.replace(
+            fuse_upsample=False, use_stencil_conv=False, use_pallas=False))
     img_spec = P(data_axis, space_axis, None, None)
     img_s = NamedSharding(mesh, img_spec)
     rep = NamedSharding(mesh, P())
