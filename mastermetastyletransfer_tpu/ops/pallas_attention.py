@@ -690,8 +690,13 @@ def fused_window_block_pair_rows(params0: dict, params1: dict,
     twn = nww * n
 
     # the step holds TWO blocks' live compute buffers + the pipeline
-    # scratch; budget at half the single-block kernel's
-    bsub = _pick_bsub(b, c, twn, budget=131072, itemsize=x.dtype.itemsize)
+    # scratch; budget at half the single-block kernel's by default
+    # (MMST_PAIR_BUDGET: the r5 A/B knob — at 131072 the 512^2 stage-1
+    # pair runs bsub=1 and measured -8% vs sequential blocks at bsub=2;
+    # raising it retries wider tiles against the scoped-VMEM ceiling)
+    pair_budget = int(os.environ.get("MMST_PAIR_BUDGET", "131072"))
+    bsub = _pick_bsub(b, c, twn, budget=pair_budget,
+                      itemsize=x.dtype.itemsize)
 
     if mask1 is None:
         mask_r = jnp.zeros((nwh, nww, n, n), jnp.bfloat16)
