@@ -275,6 +275,21 @@ def _gelu_lowp(x):
     return 0.5 * (x + jnp.abs(x) * y)
 
 
+def _mlp_chunks() -> int:
+    """MMST_MLP_CHUNKS (r5): hidden-dim chunking factor for the in-kernel
+    MLP — see _block_compute. Exact at any value (fc2 partials accumulate
+    in f32, GELU per-lane); >1 shrinks the peak f32 hidden scratch to
+    enable larger bsub (pair with MMST_BSUB_BUDGET_SCALE)."""
+    return int(os.environ.get("MMST_MLP_CHUNKS", "1"))
+
+
+def _qkv_split() -> bool:
+    """MMST_QKV_SPLIT=1 (r5): three C-wide projections instead of the one
+    (C, 3C) fused GEMM — shrinks the peak f32 projection accumulator 3x
+    (same math; lane slices of the same fused weight)."""
+    return os.environ.get("MMST_QKV_SPLIT", "0") == "1"
+
+
 def _hid_lowp(dt) -> bool:
     """bf16 MLP hidden buffer (r5, PERF.md 'Not taken' -> taken): compute
     the MLP hidden activations + GELU in bf16 instead of f32. The f32
@@ -461,11 +476,24 @@ def _block_compute(x_raw, mask_block, pm_block,
         if bsub > 1:
             pm = jnp.concatenate([pm] * bsub, axis=0)
         ln = ln * pm
-    qkv = kdot(ln, wqkv_ref[:].astype(dt)) + bqkv_ref[0].astype(f32)
-    qkv = qkv.astype(dt)
-    q3 = (qkv[:, :c] * scale).reshape(nb, n, c)
-    k3 = qkv[:, c:2 * c].reshape(nb, n, c)
-    v3 = qkv[:, 2 * c:].reshape(nb, n, c)
+    if _qkv_split():
+        # Three C-wide projections instead of one 3C GEMM: peak f32
+        # accumulator drops from (rows, 3C) to (rows, C) — a VMEM-for-
+        # width trade that buys larger bsub (r5; see _pick_bsub scale
+        # sweep). Same math (lane slices of the fused weight).
+        def prj(lo):
+            p = kdot(ln, wqkv_ref[:, lo:lo + c].astype(dt)) \
+                + bqkv_ref[0, lo:lo + c].astype(f32)
+            return p.astype(dt)
+        q3 = (prj(0) * scale).reshape(nb, n, c)
+        k3 = prj(c).reshape(nb, n, c)
+        v3 = prj(2 * c).reshape(nb, n, c)
+    else:
+        qkv = kdot(ln, wqkv_ref[:].astype(dt)) + bqkv_ref[0].astype(f32)
+        qkv = qkv.astype(dt)
+        q3 = (qkv[:, :c] * scale).reshape(nb, n, c)
+        k3 = qkv[:, c:2 * c].reshape(nb, n, c)
+        v3 = qkv[:, 2 * c:].reshape(nb, n, c)
 
     m = mask_block.astype(f32)                     # (TW, N, N)
     mt = jnp.concatenate([m] * bsub, axis=0) if bsub > 1 else m
@@ -493,7 +521,28 @@ def _block_compute(x_raw, mask_block, pm_block,
         var = jnp.mean(jnp.square(h2 - mean), axis=-1, keepdims=True)
         h2 = (h2 - mean) * jax.lax.rsqrt(var + eps)
         h2 = h2 * n2s_ref[0].astype(f32) + n2b_ref[0].astype(f32)
-    if _hid_lowp(dt):
+    hidden = f1w_ref.shape[1]
+    chunks = _mlp_chunks()
+    if chunks > 1 and hidden % chunks == 0 and not _hid_lowp(dt):
+        # Hidden-dimension chunking (r5): evaluate fc1/GELU/fc2 over
+        # hidden/chunks lanes at a time, accumulating fc2's partials. Peak
+        # f32 hidden scratch drops chunks-fold (the (rows, 4C) buffer is
+        # the largest single scratch) at identical math and FLOPs — the
+        # VMEM-for-bsub trade the stage-1 per-step floor needs (every
+        # per-op attack on the floor closed negative; only fewer/larger
+        # independent steps remain — PERF.md r4/r5 lever tables).
+        hc = hidden // chunks
+        h2dt = h2.astype(dt)
+        acc = None
+        for ci in range(chunks):
+            lo = ci * hc
+            hp_ = kdot(h2dt, f1w_ref[:, lo:lo + hc].astype(dt)) \
+                + f1b_ref[0, lo:lo + hc].astype(f32)
+            hp_ = 0.5 * hp_ * (1.0 + _erf(hp_ * (0.5 ** 0.5)))
+            part = kdot(hp_.astype(dt), f2w_ref[lo:lo + hc].astype(dt))
+            acc = part if acc is None else acc + part
+        h2 = acc + f2b_ref[0].astype(f32)
+    elif _hid_lowp(dt):
         hb = (kdot(h2.astype(dt), f1w_ref[:].astype(dt))
               + f1b_ref[0].astype(f32)).astype(dt)
         hb = _gelu_lowp(hb)
