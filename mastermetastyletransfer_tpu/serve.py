@@ -145,7 +145,7 @@ class LockedStyleService:
 
     def __init__(self, params, cfg, styles: dict, *, size: int = 512,
                  ks: List[int] = (1,), max_batch: int = 8,
-                 window_ms: float = 5.0):
+                 window_ms: float = 5.0, chunks: int = 1):
         import jax
 
         from mastermetastyletransfer_tpu.models.master import (
@@ -155,6 +155,13 @@ class LockedStyleService:
         self.params = params
         self.size = size
         self.max_batch = max_batch
+        # chunks > 1: lax.scan over `chunks` max_batch-sized chunks inside
+        # ONE jit call — under sustained load XLA overlaps chunk i+1's
+        # content swin with chunk i's decoder (+4-6% locked throughput,
+        # PERF.md r5 lever table; bench --mode locked --chunks A/B). The
+        # dispatch shape is fixed at (chunks, max_batch, ...), so light
+        # traffic pays padding — opt-in for throughput-bound deployments.
+        self.chunks = max(1, int(chunks))
         self.window_s = window_ms / 1000.0
         self.names = list(styles.keys())
         self.ks = list(ks)
@@ -169,8 +176,16 @@ class LockedStyleService:
             for jnp_img in [np.asarray(img, np.float32)]
             for k in self.ks
         }
-        self._fn = jax.jit(
-            lambda p, c, stream: stylize_with_style_stream(p, c, stream, cfg))
+        if self.chunks > 1:
+            def _scan_fn(p, c, stream):
+                def body(_, cb):
+                    return None, stylize_with_style_stream(p, cb, stream, cfg)
+                return jax.lax.scan(body, None, c)[1]
+            self._fn = jax.jit(_scan_fn)
+        else:
+            self._fn = jax.jit(
+                lambda p, c, stream: stylize_with_style_stream(p, c, stream,
+                                                               cfg))
 
         self._queues = {key: queue.Queue() for key in self._streams}
         for key in self._streams:
@@ -183,6 +198,8 @@ class LockedStyleService:
         # time out the queued path and crash startup. One stream per k is
         # enough — the jitted fn is shared across styles of the same k.
         z = np.zeros((self.max_batch, self.size, self.size, 3), np.float32)
+        if self.chunks > 1:
+            z = np.broadcast_to(z, (self.chunks,) + z.shape).copy()
         for k in self.ks:
             stream = self._streams[(self.names[0], k)]
             with self._lock:
@@ -194,18 +211,24 @@ class LockedStyleService:
         q = self._queues[key]
         stream = self._streams[key]
         while True:
-            batch = _drain_batch(q, q.get(), self.max_batch, self.window_s)
+            total = self.chunks * self.max_batch
+            batch = _drain_batch(q, q.get(), total, self.window_s)
             contents = np.stack([b[0] for b in batch])
             n = contents.shape[0]
-            if n < self.max_batch:
+            if n < total:
                 contents = np.concatenate(
                     [contents,
-                     np.zeros((self.max_batch - n,) + contents.shape[1:],
+                     np.zeros((total - n,) + contents.shape[1:],
                               np.float32)])
+            if self.chunks > 1:
+                contents = contents.reshape(
+                    (self.chunks, self.max_batch) + contents.shape[1:])
             try:
                 with self._lock:
                     outs = self._fn(self.params, contents, stream)
                 outs = np.asarray(self._jax.device_get(outs))
+                if self.chunks > 1:
+                    outs = outs.reshape((total,) + outs.shape[2:])
                 for i, (_, rq) in enumerate(batch):
                     rq.put(("ok", outs[i]))
             except Exception as e:  # surface device errors to the caller
@@ -435,6 +458,12 @@ def main(argv=None):
                     help="comma list of served transformer layer counts "
                          "(reference k; ZS-L1=1, ZS-L3=3)")
     ap.add_argument("--max_batch", type=int, default=8)
+    ap.add_argument("--locked_chunks", type=int, default=1,
+                    help="style-locked dispatch: scan this many max_batch "
+                         "chunks inside one jit call (+4-6% sustained "
+                         "throughput at 8, PERF.md r5; pads light traffic "
+                         "to the full chunked shape - throughput-bound "
+                         "deployments only)")
     ap.add_argument("--compute_dtype", default="bfloat16")
     ap.add_argument("--use_pallas", action=argparse.BooleanOptionalAction,
                     default=True,
@@ -497,7 +526,7 @@ def main(argv=None):
                 styles[name] = _decode_to(args.size, f.read())
         locked_service = LockedStyleService(
             params, cfg, styles, size=args.size, ks=ks,
-            max_batch=args.max_batch)
+            max_batch=args.max_batch, chunks=args.locked_chunks)
 
     print(f"warming up ({args.size}x{args.size}, ks={ks}"
           f"{', sweep ' + str(sweep_service.names) if sweep_service else ''}"

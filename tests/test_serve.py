@@ -203,6 +203,14 @@ def test_locked_style_service_matches_pair_service():
     got = locked.stylize(content, "s0", k=1)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
+    # chunked dispatch (r5: lax.scan over chunks inside one jit) returns
+    # identical results through the same API
+    chunked = LockedStyleService(params, cfg, {"s0": style_img}, size=64,
+                                 ks=[1], max_batch=2, window_ms=5.0,
+                                 chunks=2)
+    got_c = chunked.stylize(content, "s0", k=1)
+    np.testing.assert_allclose(got_c, want, rtol=1e-4, atol=1e-4)
+
     # unknown style / k -> KeyError
     import pytest
     with pytest.raises(KeyError):
