@@ -138,8 +138,6 @@ def bench_spatial(args):
     plumbing costs relative to the plain path; on a real multi-chip slice
     the same code scales the resolution instead). Default shape 1024^2
     (BASELINE config #5, the config spatial parallelism exists for)."""
-    import numpy as np
-
     from mastermetastyletransfer_tpu.models import init_master_model
     from mastermetastyletransfer_tpu.parallel import (
         make_mesh, make_spatial_stylize_shmap, spatial_shmap_unsupported,

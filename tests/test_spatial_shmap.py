@@ -129,6 +129,21 @@ def test_full_spatial_shmap_parity_pallas(setup):
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
 
 
+def test_hybrid_data_x_space_shmap_parity(setup):
+    """Band-owned path on a hybrid (data=2, space=4) mesh: batch shards
+    over data, H-bands over space, psums stay space-only."""
+    cfg, params, c, s = setup
+    from mastermetastyletransfer_tpu.parallel.spatial import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(2, 4)
+    pcfg = cfg.replace(decoder=cfg.decoder.replace(fuse_upsample=False))
+    ref = np.asarray(jax.jit(
+        lambda p, a, b: master_apply(p, a, b, pcfg, k=1))(params, c, s))
+    out = np.asarray(ss.make_spatial_stylize_shmap(
+        cfg, mesh, k=1, data_axis="data")(params, c, s))
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=2e-4)
+
+
 def test_spatial_shmap_unsupported_reasons():
     cfg = ModelConfig()
     assert ss.spatial_shmap_unsupported(cfg, 256, 256, 8) is None
