@@ -15,6 +15,8 @@ python bench.py --mode meta --iters 5    | tail -1 >> $R
 python bench.py --mode sweep --batch 4   | tail -1 >> $R
 python bench.py --mode train --train_mode fast_adaptation --iters 10 | tail -1 >> $R
 python bench.py --mode locked            | tail -1 >> $R
+python bench.py --mode locked --chunks 8 | tail -1 >> $R
+python bench.py --mode spatial --size 1024 --batch 4 --iters 10 | tail -1 >> $R
 
 python -m mastermetastyletransfer_tpu.eval.cli \
   --content_dir /root/reference/test/content_input \
