@@ -182,14 +182,14 @@ def _band_attention(q4, k4, v4s, bias, mask3, heads: int, proj):
     return outs
 
 
-def _rows_kernel_ok(x, c: int, ww: int) -> bool:
+def _rows_kernel_ok(x, c: int, wh: int, ww: int) -> bool:
     """Hardware envelope of the row-resident kernel inside a band (same
     gates as ops/attention.fused_self_attention_block): bf16 + row width
     twn*C <= 256k elements; interpret mode (CPU tests) has no VMEM limit."""
     from mastermetastyletransfer_tpu.models.style_transformer import (
         _pallas_interpret,
     )
-    twn_c = (x.shape[2] // ww) * ww * 7 * c  # nww * N * C with wh = 7
+    twn_c = (x.shape[2] // ww) * ww * wh * c  # nww * N * C
     return _pallas_interpret() or (x.dtype == jnp.bfloat16
                                    and twn_c <= 262144)
 
@@ -296,7 +296,7 @@ def _swin_local(sp, images, scfg, aux, meta, axis: str, n: int):
             mask_slab = (aux[f"s{stage}_mask"] if (shifted and (sh or sw))
                          else None)
             if scfg.use_pallas and _pallas_dim_ok(acfg.dim) and \
-                    _rows_kernel_ok(x, acfg.dim, ww):
+                    _rows_kernel_ok(x, acfg.dim, wh, ww):
                 x = _band_swin_block_pallas(
                     bp, x, acfg, bias, mask_slab, pm2.reshape(nwl, nn),
                     sh, sw, axis, n)
